@@ -1,0 +1,39 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU platform so the multi-chip sharding path
+is exercised without TPU hardware (the standard JAX recipe:
+``--xla_force_host_platform_device_count``). Must be set before jax imports.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def reference_modules():
+    """Import the PyTorch reference (read-only, for parity goldens).
+
+    The reference imports music21 at module scope but never needs it for the
+    model/tokenizer paths we test against; stub it if absent.
+    """
+    import types
+    if "music21" not in sys.modules:
+        try:
+            import music21  # noqa: F401
+        except ImportError:
+            sys.modules["music21"] = types.ModuleType("music21")
+    ref = "/root/reference"
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    import models as ref_models  # noqa
+    from data_processing import humdrum as ref_humdrum  # noqa
+    return ref_models, ref_humdrum
