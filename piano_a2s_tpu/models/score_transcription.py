@@ -1,0 +1,430 @@
+"""ScoreTranscription model — TPU-native JAX implementation.
+
+Architecture (numerically matching the PyTorch reference for converted
+checkpoints; reference: models.py:14-543):
+
+    spectrogram (B, 1, T=1201, F=480)
+      -> ConvStack: 4x [3x3 conv + BN + ReLU] -> flatten freq -> Linear+BN
+         -> (B, T, 256)                                (models.py:463-543)
+      -> Encoder: 2-layer bidirectional GRU -> enc (B, T, 512),
+         bridge hidden (B, 512)                        (models.py:53-82)
+      -> HierarchicalDecoder: per-bar GRU + additive attention emitting a
+         bar summary, two per-bar NoteDecoders (upper/lower staff) and
+         time-/key-signature MLP heads               (models.py:84-438)
+
+TPU-first design decisions (not translations):
+  - Every recurrence is a `lax.scan`; the whole forward is ONE jitted XLA
+    program (the reference leaks host<->device syncs each step).
+  - Attention encoder projections are hoisted out of the ~2900 sequential
+    decode steps (one MXU matmul per attention module per clip).
+  - The reference's data-dependent early-exit note loop (models.py:388-419)
+    is a fixed-length scan; its stopping/length semantics (stop when ALL
+    batch items emitted EOS; length = last EOS before the stop step) are
+    reproduced exactly with post-scan masks, which preserves losses and
+    greedy-decode tokens (see tests/test_model_parity.py).
+  - Parameters are plain pytrees; train/infer are pure functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import gru as G
+from ..ops import attention as A
+from ..ops import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    in_channels: int = 1
+    freq_bins: int = 480
+    conv_feature_size: int = 256
+    hidden_size: int = 256
+    max_bars: int = 5
+    num_time_sig: int = 7
+    num_keys: int = 14
+    max_length: Tuple[int, int] = (398, 189)
+    note_emb_size: int = 16
+    staff_emb_size: int = 32
+    time_sig_emb_size: int = 5
+    key_emb_size: int = 8
+    vocab_size: int = 173
+    sos: int = 145
+    eos: int = 146
+    pad: int = 147
+
+    @property
+    def bar_gru_in(self) -> int:
+        return (self.staff_emb_size * 4 + self.time_sig_emb_size
+                + self.key_emb_size + self.hidden_size * 2)
+
+    @property
+    def note_gru_in(self) -> int:
+        return self.note_emb_size + self.hidden_size * 2
+
+
+# ---------------------------------------------------------------------------
+# Initialization (distribution-level parity with the reference's init:
+# xavier/orthogonal where the reference re-inits, torch defaults elsewhere).
+# ---------------------------------------------------------------------------
+
+def _init_note_decoder(key, cfg: ModelConfig) -> Dict[str, Any]:
+    k = jax.random.split(key, 4)
+    h = cfg.hidden_size
+    return {
+        "emb": L.init_embedding_params(k[0], cfg.vocab_size,
+                                       cfg.note_emb_size),
+        "attn": A.init_attention_params(k[1], h),
+        "gru": G.init_gru_params(k[2], cfg.note_gru_in, 2 * h, mode="piano"),
+        "out": L.init_linear_params(k[3], 4 * h, cfg.vocab_size,
+                                    mode="xavier"),
+    }
+
+
+def init_params(key, cfg: ModelConfig = ModelConfig()) -> Dict[str, Any]:
+    kc, ke, kd = jax.random.split(key, 3)
+    h = cfg.hidden_size
+    f = cfg.conv_feature_size
+
+    kcs = jax.random.split(kc, 5)
+    convstack = {
+        "conv1": L.init_conv_params(kcs[0], 3, 3, cfg.in_channels, 20),
+        "conv2": L.init_conv_params(kcs[1], 3, 3, 20, 20),
+        "conv3": L.init_conv_params(kcs[2], 3, 3, 20, 40),
+        "conv4": L.init_conv_params(kcs[3], 3, 3, 40, 40),
+        "bn1": L.init_bn_params(20), "bn2": L.init_bn_params(20),
+        "bn3": L.init_bn_params(40), "bn4": L.init_bn_params(40),
+        "out": L.init_linear_params(kcs[4], cfg.freq_bins * 40, f,
+                                    bias=False, mode="xavier"),
+        "out_bn": L.init_bn_params(f),
+    }
+
+    kes = jax.random.split(ke, 5)
+    encoder = {
+        "l0_fwd": G.init_gru_params(kes[0], f, h, mode="piano"),
+        "l0_bwd": G.init_gru_params(kes[1], f, h, mode="piano"),
+        "l1_fwd": G.init_gru_params(kes[2], 2 * h, h, mode="piano"),
+        "l1_bwd": G.init_gru_params(kes[3], 2 * h, h, mode="piano"),
+        "fc": L.init_linear_params(kes[4], 2 * h, h, mode="xavier"),
+    }
+
+    kds = jax.random.split(kd, 12)
+    decoder = {
+        "note_emb": L.init_embedding_params(kds[0], cfg.vocab_size,
+                                            cfg.note_emb_size),
+        "time_sig_emb": L.init_embedding_params(kds[1], cfg.num_time_sig + 1,
+                                                cfg.time_sig_emb_size),
+        "key_emb": L.init_embedding_params(kds[2], cfg.num_keys + 1,
+                                           cfg.key_emb_size),
+        # Staff summarizer keeps torch-default init (never re-initialized in
+        # the reference; models.py:136-139 only re-inits the bar GRU).
+        "staff_fwd": G.init_gru_params(kds[3], cfg.note_emb_size,
+                                       cfg.staff_emb_size, mode="torch"),
+        "staff_bwd": G.init_gru_params(kds[4], cfg.note_emb_size,
+                                       cfg.staff_emb_size, mode="torch"),
+        "attn": A.init_attention_params(kds[5], h),
+        "gru": G.init_gru_params(kds[6], cfg.bar_gru_in, 2 * h, mode="piano"),
+        "time_head": {
+            "l1": L.init_linear_params(kds[7], 4 * h, 4 * h, mode="torch"),
+            "l2": L.init_linear_params(kds[8], 4 * h, 2 * h, mode="torch"),
+            "l3": L.init_linear_params(kds[9], 2 * h, cfg.num_time_sig,
+                                       mode="torch"),
+        },
+        "key_head": {
+            "l1": L.init_linear_params(jax.random.fold_in(kds[7], 1),
+                                       4 * h, 4 * h, mode="torch"),
+            "l2": L.init_linear_params(jax.random.fold_in(kds[8], 1),
+                                       4 * h, 2 * h, mode="torch"),
+            "l3": L.init_linear_params(jax.random.fold_in(kds[9], 1),
+                                       2 * h, cfg.num_keys, mode="torch"),
+        },
+        "upper": _init_note_decoder(kds[10], cfg),
+        "lower": _init_note_decoder(kds[11], cfg),
+    }
+    return {"convstack": convstack, "encoder": encoder, "decoder": decoder}
+
+
+def init_state(cfg: ModelConfig = ModelConfig()) -> Dict[str, Any]:
+    """Mutable (non-trained) state: BatchNorm running statistics."""
+    return {"convstack": {
+        "bn1": L.init_bn_state(20), "bn2": L.init_bn_state(20),
+        "bn3": L.init_bn_state(40), "bn4": L.init_bn_state(40),
+        "out_bn": L.init_bn_state(cfg.conv_feature_size),
+    }}
+
+
+# ---------------------------------------------------------------------------
+# ConvStack + Encoder
+# ---------------------------------------------------------------------------
+
+def conv_stack_apply(params, state, x: jnp.ndarray, train: bool,
+                     rng) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """x: (B, 1, T, F) -> (B, T, conv_feature_size). NHWC internally."""
+    p, s = params, state
+    y = jnp.transpose(x, (0, 2, 3, 1))  # NHWC
+    new_s = {}
+    for i, ch in zip((1, 2, 3, 4), (20, 20, 40, 40)):
+        y = L.conv2d_same(p[f"conv{i}"], y)
+        y, new_s[f"bn{i}"] = L.batch_norm(p[f"bn{i}"], s[f"bn{i}"], y,
+                                          axes=(0, 1, 2), train=train)
+        y = jax.nn.relu(y)
+        del ch
+    b, t, f, c = y.shape
+    # Flatten freq x channel. NHWC order (f*c + c_idx); the checkpoint
+    # converter permutes torch's (c*F + f) columns to match.
+    y = y.reshape(b, t, f * c)
+    y = L.linear(p["out"], y)
+    y, new_s["out_bn"] = L.batch_norm(p["out_bn"], s["out_bn"], y,
+                                      axes=(0, 1), train=train)
+    y = jax.nn.relu(y)
+    y = L.dropout(rng, y, 0.2, train)
+    return y, new_s
+
+
+def encoder_apply(params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: (B, T, F_in) -> (enc (B, T, 2H), bridge hidden (B, 2H))."""
+    xs = jnp.swapaxes(x, 0, 1)  # (T, B, F)
+    B = xs.shape[1]
+    h0 = jnp.zeros((B, params["fc"]["w"].shape[1]), xs.dtype)
+    f0, h_l0f = G.gru_sequence(params["l0_fwd"], xs, h0)
+    b0, h_l0b = G.gru_sequence(params["l0_bwd"], xs, h0, reverse=True)
+    l0 = jnp.concatenate([f0, b0], axis=-1)
+    f1, h_l1f = G.gru_sequence(params["l1_fwd"], l0, h0)
+    b1, h_l1b = G.gru_sequence(params["l1_bwd"], l0, h0, reverse=True)
+    enc = jnp.swapaxes(jnp.concatenate([f1, b1], axis=-1), 0, 1)
+    # Bridge (reference: models.py:77-82): per-layer tanh(fc([h_fwd; h_bwd]))
+    # then concatenate the two layers.
+    h1 = jnp.tanh(L.linear(params["fc"],
+                           jnp.concatenate([h_l0f, h_l0b], axis=-1)))
+    h2 = jnp.tanh(L.linear(params["fc"],
+                           jnp.concatenate([h_l1f, h_l1b], axis=-1)))
+    return enc, jnp.concatenate([h1, h2], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Note-level decoder (fixed-length scan with reference stopping semantics)
+# ---------------------------------------------------------------------------
+
+def _note_lengths(signal: jnp.ndarray, max_steps: int) -> jnp.ndarray:
+    """Reproduce the reference's per-item `lengths` bookkeeping
+    (models.py:386-419) from a full-length EOS signal matrix.
+
+    signal: (B, T) bool — EOS emitted/required at step t. The torch loop
+    stops at T_stop = max_i(first_eos_i) + 1 and records, per item, the LAST
+    EOS step before T_stop (+1), defaulting to max_steps if none.
+    """
+    T = signal.shape[1]
+    any_eos = jnp.any(signal, axis=1)
+    first = jnp.where(any_eos, jnp.argmax(signal, axis=1), T)
+    t_stop = jnp.minimum(jnp.max(first) + 1, T)
+    valid = signal & (jnp.arange(T)[None, :] < t_stop)
+    any_valid = jnp.any(valid, axis=1)
+    last = T - 1 - jnp.argmax(valid[:, ::-1], axis=1)
+    return jnp.where(any_valid, last + 1, max_steps).astype(jnp.int32)
+
+
+def note_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
+                       enc_proj: jnp.ndarray, h0: jnp.ndarray,
+                       max_steps: int,
+                       gt_tokens: Optional[jnp.ndarray],
+                       tf_ratio, train: bool, rng):
+    """Greedy/teacher-forced decode of one bar for one staff.
+
+    enc: (B, T_enc, 2H); enc_proj: precomputed attention projection;
+    h0: (B, 2H) bar summary (initial hidden); gt_tokens: (B, max_steps) or
+    None. Returns (log_probs (B, max_steps, V), tokens (B, max_steps),
+    lengths (B,)).
+    """
+    B = enc.shape[0]
+    sos_emb = L.embed(params["emb"], jnp.full((B,), cfg.sos, jnp.int32))
+    step_keys = jax.random.split(rng, max_steps)
+    if gt_tokens is None:
+        gt_xs = jnp.zeros((max_steps, B), jnp.int32)
+    else:
+        gt_xs = jnp.swapaxes(gt_tokens, 0, 1).astype(jnp.int32)
+
+    def body(carry, xs):
+        h, tok_emb = carry
+        key, gt_t = xs
+        k_drop, k_coin = jax.random.split(key)
+        tok = L.dropout(k_drop, tok_emb, 0.1, train)
+        context, _ = A.attention_step(params["attn"], enc_proj, enc, h)
+        x = jnp.concatenate([tok, context], axis=-1)
+        h = G.gru_step(params["gru"], x, h)
+        out = L.linear(params["out"],
+                       jnp.concatenate([h, context], axis=-1))
+        logp = jax.nn.log_softmax(out, axis=-1)
+        pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        if gt_tokens is not None:
+            # One coin per step, shared across the batch
+            # (reference: models.py:404, python random.random()).
+            use_gt = jax.random.uniform(k_coin) < tf_ratio
+            next_tok = jnp.where(use_gt, gt_t, pred)
+        else:
+            next_tok = pred
+        tok_emb = L.embed(params["emb"], next_tok)
+        return (h, tok_emb), (logp, pred)
+
+    (_, _), (logps, preds) = jax.lax.scan(
+        body, (h0, sos_emb), (step_keys, gt_xs))
+    log_probs = jnp.swapaxes(logps, 0, 1)  # (B, T, V)
+    tokens = jnp.swapaxes(preds, 0, 1)
+    signal = (gt_tokens == cfg.eos) if gt_tokens is not None \
+        else (tokens == cfg.eos)
+    lengths = _note_lengths(signal, max_steps)
+    return log_probs, tokens, lengths
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (bar-level) decoder
+# ---------------------------------------------------------------------------
+
+def _staff_summary(dec, tokens_or_emb: jnp.ndarray,
+                   lengths: jnp.ndarray) -> jnp.ndarray:
+    """Bidirectional staff-summarizer GRU final state over note embeddings
+    (reference: models.py:164-189). tokens_or_emb: (B, T) int token ids."""
+    emb = L.embed(dec["note_emb"], tokens_or_emb.astype(jnp.int32))
+    return G.bidir_final(dec["staff_fwd"], dec["staff_bwd"], emb, lengths)
+
+
+def _mlp_head(head, x: jnp.ndarray) -> jnp.ndarray:
+    y = jax.nn.relu(L.linear(head["l1"], x))
+    y = jax.nn.relu(L.linear(head["l2"], y))
+    return jax.nn.log_softmax(L.linear(head["l3"], y), axis=-1)
+
+
+def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
+                               hidden: jnp.ndarray,
+                               ground_truth, tf_ratio, train: bool, rng):
+    """Decode max_bars bars. ground_truth is None (inference) or the tuple
+    (time_sig (B,bars), key (B,bars), upper (B,bars,Tu), upper_len (B,bars),
+    lower (B,bars,Tl), lower_len (B,bars)).
+    """
+    dec = params["decoder"]
+    B = enc.shape[0]
+    has_gt = ground_truth is not None
+
+    enc_proj_bar = A.precompute_enc_proj(dec["attn"], enc)
+    enc_proj_up = A.precompute_enc_proj(dec["upper"]["attn"], enc)
+    enc_proj_low = A.precompute_enc_proj(dec["lower"]["attn"], enc)
+
+    # SOS bootstrap token (reference: models.py:141-162): staff summary of
+    # [<sos>, <eos>] duplicated for both staves + SOS time/key embeddings.
+    sos_pair = jnp.tile(jnp.array([[cfg.sos, cfg.eos]], jnp.int32), (B, 1))
+    staff0 = _staff_summary(dec, sos_pair, jnp.full((B,), 2, jnp.int32))
+    time0 = L.embed(dec["time_sig_emb"],
+                    jnp.full((B,), cfg.num_time_sig, jnp.int32))
+    key0 = L.embed(dec["key_emb"], jnp.full((B,), cfg.num_keys, jnp.int32))
+    token0 = jnp.concatenate([staff0, staff0, time0, key0], axis=-1)
+
+    if has_gt:
+        ts_gt, key_gt, up_gt, up_len_gt, low_gt, low_len_gt = [
+            jnp.asarray(g) for g in ground_truth]
+        xs_gt = (jnp.swapaxes(ts_gt, 0, 1), jnp.swapaxes(key_gt, 0, 1),
+                 jnp.swapaxes(up_gt, 0, 1), jnp.swapaxes(up_len_gt, 0, 1),
+                 jnp.swapaxes(low_gt, 0, 1), jnp.swapaxes(low_len_gt, 0, 1))
+    else:
+        bars = cfg.max_bars
+        xs_gt = (jnp.zeros((bars, B), jnp.int32),) * 2 + (
+            jnp.zeros((bars, B, cfg.max_length[0]), jnp.int32),
+            jnp.zeros((bars, B), jnp.int32),
+            jnp.zeros((bars, B, cfg.max_length[1]), jnp.int32),
+            jnp.zeros((bars, B), jnp.int32))
+
+    bar_keys = jax.random.split(rng, cfg.max_bars)
+
+    def bar_body(carry, xs):
+        hidden, token = carry
+        key, (ts_t, key_t, up_t, up_len_t, low_t, low_len_t) = xs
+        k_drop, k_coin, k_up, k_low = jax.random.split(key, 4)
+
+        token = L.dropout(k_drop, token, 0.1, train)
+        context, _ = A.attention_step(dec["attn"], enc_proj_bar, enc, hidden)
+        rnn_in = jnp.concatenate([token, context], axis=-1)
+        bar_summary = G.gru_step(dec["gru"], rnn_in, hidden)
+        hidden = bar_summary  # single-layer GRU: output == new hidden
+
+        up_gt_bar = up_t if has_gt else None
+        low_gt_bar = low_t if has_gt else None
+        up_logp, up_tok, up_len = note_decoder_apply(
+            dec["upper"], cfg, enc, enc_proj_up, bar_summary,
+            cfg.max_length[0], up_gt_bar, tf_ratio, train, k_up)
+        low_logp, low_tok, low_len = note_decoder_apply(
+            dec["lower"], cfg, enc, enc_proj_low, bar_summary,
+            cfg.max_length[1], low_gt_bar, tf_ratio, train, k_low)
+
+        head_in = jnp.concatenate([bar_summary, context], axis=-1)
+        ts_logp = _mlp_head(dec["time_head"], head_in)
+        key_logp = _mlp_head(dec["key_head"], head_in)
+
+        # Next-bar conditioning token (reference: models.py:288-311): one
+        # teacher-forcing coin PER BAR shared across the batch.
+        up_staff_pred = _staff_summary(dec, up_tok, up_len)
+        low_staff_pred = _staff_summary(dec, low_tok, low_len)
+        ts_pred = jnp.argmax(ts_logp, axis=-1).astype(jnp.int32)
+        key_pred = jnp.argmax(key_logp, axis=-1).astype(jnp.int32)
+        token_pred = jnp.concatenate([
+            up_staff_pred, low_staff_pred,
+            L.embed(dec["time_sig_emb"], ts_pred),
+            L.embed(dec["key_emb"], key_pred)], axis=-1)
+
+        if has_gt:
+            up_staff_gt = _staff_summary(dec, up_t, up_len_t)
+            low_staff_gt = _staff_summary(dec, low_t, low_len_t)
+            token_gt = jnp.concatenate([
+                up_staff_gt, low_staff_gt,
+                L.embed(dec["time_sig_emb"], ts_t.astype(jnp.int32)),
+                L.embed(dec["key_emb"], key_t.astype(jnp.int32))], axis=-1)
+            teacher_force = jax.random.uniform(k_coin) < tf_ratio
+            token = jnp.where(teacher_force, token_gt, token_pred)
+        else:
+            token = token_pred
+
+        return ((hidden, token),
+                (ts_logp, key_logp, up_logp, low_logp,
+                 up_tok, low_tok, up_len, low_len))
+
+    (_, _), outs = jax.lax.scan(bar_body, (hidden, token0),
+                                (bar_keys, xs_gt))
+    ts_logp, key_logp, up_logp, low_logp, up_tok, low_tok, up_len, low_len \
+        = outs
+    # (bars, B, ...) -> (B, bars, ...)
+    swap = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731
+    return (swap(ts_logp), swap(key_logp), swap(up_logp), swap(low_logp),
+            {"upper_tokens": swap(up_tok), "lower_tokens": swap(low_tok),
+             "upper_lengths": swap(up_len), "lower_lengths": swap(low_len)})
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+def forward(params, state, spectrogram: jnp.ndarray, rng,
+            cfg: ModelConfig = ModelConfig(), train: bool = False,
+            ground_truth=None, tf_ratio=0.0):
+    """Full model forward.
+
+    spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
+    key_logp (B,bars,14), upper_logp (B,bars,Tu,V), lower_logp (B,bars,Tl,V),
+    aux dict), new_state).
+    """
+    k_conv, k_dec = jax.random.split(rng)
+    feats, new_conv_state = conv_stack_apply(
+        params["convstack"], state["convstack"], spectrogram, train, k_conv)
+    enc, hidden = encoder_apply(params["encoder"], feats)
+    ts, key, up, low, aux = hierarchical_decoder_apply(
+        params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec)
+    return (ts, key, up, low, aux), {"convstack": new_conv_state}
+
+
+def forward_infer(params, state, spectrogram: jnp.ndarray,
+                  cfg: ModelConfig = ModelConfig()):
+    """Inference forward (deterministic; dropout off, greedy decode)."""
+    rng = jax.random.PRNGKey(0)  # never consumed on the eval path
+    (ts, key, up, low, aux), _ = forward(params, state, spectrogram, rng,
+                                         cfg=cfg, train=False)
+    return ts, key, up, low, aux

@@ -1,0 +1,142 @@
+"""GRU primitives as XLA-friendly scans.
+
+Design (TPU-first): the input projection ``x @ W_ih + b_ih`` for a whole
+sequence is one large MXU matmul hoisted out of the recurrence; the
+``lax.scan`` body only carries the (small) recurrent matmul. Gate math and
+weight layout follow the cuDNN/PyTorch GRU convention so converted
+checkpoints are numerically identical (reference: torch.nn.GRU used at
+models.py:63-67,107-111,117-120,353-356):
+
+    r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
+    z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
+    n = tanh(x W_in + b_in + r * (h W_hn + b_hn))
+    h' = (1 - z) * n + z * h
+
+Weights are stored right-multiply: ``w_ih (in, 3H)``, ``w_hh (H, 3H)``,
+``b_ih/b_hh (3H,)``, gates concatenated in (r, z, n) order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def init_gru_params(key, input_size: int, hidden_size: int,
+                    mode: str = "piano") -> Dict[str, jnp.ndarray]:
+    """Initialize one GRU direction.
+
+    mode="piano": the reference's init_gru scheme — per-gate uniform
+    ±sqrt(3/fan_in) with an orthogonal hh candidate gate, zero biases
+    (reference: models.py:561-585).
+    mode="torch": torch.nn.GRU default — uniform ±1/sqrt(hidden) everywhere
+    (used for the staff summarizer, which the reference never re-inits).
+    """
+    k = jax.random.split(key, 7)
+    h = hidden_size
+    if mode == "torch":
+        bound = 1.0 / math.sqrt(h)
+        return {
+            "w_ih": jax.random.uniform(k[0], (input_size, 3 * h),
+                                       minval=-bound, maxval=bound),
+            "w_hh": jax.random.uniform(k[1], (h, 3 * h),
+                                       minval=-bound, maxval=bound),
+            "b_ih": jax.random.uniform(k[2], (3 * h,),
+                                       minval=-bound, maxval=bound),
+            "b_hh": jax.random.uniform(k[3], (3 * h,),
+                                       minval=-bound, maxval=bound),
+        }
+    bi = math.sqrt(3.0 / input_size)
+    bh = math.sqrt(3.0 / h)
+    w_ih = jax.random.uniform(k[0], (input_size, 3 * h), minval=-bi, maxval=bi)
+    w_hh_rz = jax.random.uniform(k[1], (h, 2 * h), minval=-bh, maxval=bh)
+    # Orthogonal candidate gate (torch orthogonal_ on the (h, h) block).
+    w_hh_n = jax.nn.initializers.orthogonal()(k[2], (h, h))
+    return {
+        "w_ih": w_ih,
+        "w_hh": jnp.concatenate([w_hh_rz, w_hh_n], axis=1),
+        "b_ih": jnp.zeros(3 * h),
+        "b_hh": jnp.zeros(3 * h),
+    }
+
+
+def gru_cell(params, x_proj: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """One GRU step given a precomputed input projection.
+
+    x_proj: (..., 3H) = x @ w_ih + b_ih; h: (..., H). Returns h'.
+    """
+    h_proj = h @ params["w_hh"] + params["b_hh"]
+    ir, iz, inn = jnp.split(x_proj, 3, axis=-1)
+    hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+    r = jax.nn.sigmoid(ir + hr)
+    z = jax.nn.sigmoid(iz + hz)
+    n = jnp.tanh(inn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def gru_step(params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """One GRU step from raw input (projects x on the fly)."""
+    return gru_cell(params, x @ params["w_ih"] + params["b_ih"], h)
+
+
+def gru_sequence(params, xs: jnp.ndarray, h0: jnp.ndarray,
+                 reverse: bool = False):
+    """Run a GRU over a full sequence.
+
+    xs: (T, B, in) time-major. h0: (B, H). Returns (hs (T, B, H), h_T).
+    The input projection is hoisted into one (T*B, in) @ (in, 3H) matmul.
+    """
+    x_proj = xs @ params["w_ih"] + params["b_ih"]  # (T, B, 3H)
+
+    def body(h, xp):
+        h_new = gru_cell(params, xp, h)
+        return h_new, h_new
+
+    h_t, hs = jax.lax.scan(body, h0, x_proj, reverse=reverse)
+    return hs, h_t
+
+
+def gru_sequence_masked_final(params, xs: jnp.ndarray, lengths: jnp.ndarray,
+                              reverse: bool = False) -> jnp.ndarray:
+    """Final hidden state of a GRU over variable-length sequences.
+
+    Equivalent to torch's pack_padded_sequence + GRU final hidden
+    (reference: models.py:169-189): for the forward direction the carry
+    freezes once t >= length; for the backward direction steps with
+    t >= length are skipped (carry stays h0 until the sequence tail is
+    reached, matching packed-sequence semantics where the bwd pass starts
+    at position length-1).
+
+    xs: (T, B, in); lengths: (B,) int. Returns (B, H).
+    """
+    T = xs.shape[0]
+    x_proj = xs @ params["w_ih"] + params["b_ih"]
+    h0 = jnp.zeros((xs.shape[1], params["w_hh"].shape[0]), xs.dtype)
+    t_idx = jnp.arange(T)
+
+    def body(h, inp):
+        t, xp = inp
+        h_new = gru_cell(params, xp, h)
+        valid = (t < lengths)[:, None]
+        h = jnp.where(valid, h_new, h)
+        return h, None
+
+    h_t, _ = jax.lax.scan(body, h0, (t_idx, x_proj), reverse=reverse)
+    return h_t
+
+
+def bidir_final(params_fwd, params_bwd, xs: jnp.ndarray,
+                lengths: jnp.ndarray) -> jnp.ndarray:
+    """Concatenated (fwd, bwd) final hiddens over variable-length input.
+
+    xs: (B, T, in) batch-major; lengths: (B,). Returns (B, 2H) — the
+    bidirectional packed-GRU final hidden used by the staff summarizer.
+    """
+    xs_tm = jnp.swapaxes(xs, 0, 1)
+    h_fwd = gru_sequence_masked_final(params_fwd, xs_tm, lengths)
+    h_bwd = gru_sequence_masked_final(params_bwd, xs_tm, lengths,
+                                      reverse=True)
+    return jnp.concatenate([h_fwd, h_bwd], axis=-1)

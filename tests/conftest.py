@@ -2,17 +2,23 @@
 
 Tests run on a virtual 8-device CPU platform so the multi-chip sharding path
 is exercised without TPU hardware (the standard JAX recipe:
-``--xla_force_host_platform_device_count``). Must be set before jax imports.
+``--xla_force_host_platform_device_count``). The axon TPU plugin ignores
+JAX_PLATFORMS, so the platform is forced via jax.config here, before any
+test imports jax transitively.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
