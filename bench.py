@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end 12s-clip transcription throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s",
+   "vs_baseline": N / <PyTorch-CPU reference clips/s>}
+
+The baseline anchor is the PyTorch reference (/root/reference) running the
+same inference (batch 1, full 1201x480 spectrogram, greedy decode) on CPU
+with random weights — random weights never emit EOS, so BOTH sides decode
+the full 5x(398+189) steps: a worst-case, apples-to-apples comparison.
+The anchor is measured once and cached in .bench_baseline.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+
+
+def measure_ours() -> float:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from piano_a2s_tpu.models import ModelConfig, init_params, init_state
+    from piano_a2s_tpu.models.score_transcription import forward
+    from piano_a2s_tpu.ops.vqt import VQTConfig, build_kernels, get_vqt
+
+    cfg = ModelConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state = init_state(cfg)
+    kernels = tuple(map(jnp.asarray, build_kernels(VQTConfig())))
+    rng = np.random.RandomState(0)
+    audio = (0.2 * rng.randn(BATCH, 12 * 16000)).astype(np.float32)
+
+    def pipeline(params, state, audio):
+        spec = jax.vmap(lambda a: get_vqt(a, kernels))(audio)
+        spec = spec[:, None, :, :]  # (B, 1, 1201, 480)
+        (ts, key, up, low, aux), _ = forward(
+            params, state, spec, jax.random.PRNGKey(0), cfg=cfg,
+            train=False)
+        return (jnp.argmax(ts, -1), jnp.argmax(key, -1),
+                aux["upper_tokens"], aux["lower_tokens"],
+                aux["upper_lengths"], aux["lower_lengths"])
+
+    fn = jax.jit(pipeline)
+    jax.device_get(fn(params, state, audio))  # compile + warm
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = jax.device_get(fn(params, state, audio))
+    dt = (time.time() - t0) / ITERS
+    del out
+    return BATCH / dt
+
+
+def measure_torch_baseline() -> float:
+    """Reference PyTorch model on CPU (batch 1), full greedy decode."""
+    import types
+    if "music21" not in sys.modules:
+        try:
+            import music21  # noqa: F401
+        except ImportError:
+            sys.modules["music21"] = types.ModuleType("music21")
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import models as ref_models
+    torch.manual_seed(0)
+    model = ref_models.ScoreTranscription(
+        max_length=(398, 189), max_bars=5, num_time_sig=7, num_keys=14,
+        conv_feature_size=256, hidden_size=256, note_emb_size=16,
+        staff_emb_size=32, time_sig_emb_size=5, key_emb_size=8).eval()
+    spec = torch.randn(1, 1, 1201, 480)
+    with torch.no_grad():
+        t0 = time.time()
+        model(spec, inference=True, device=torch.device("cpu"))
+        dt = time.time() - t0
+    return 1.0 / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_clips_per_sec"]
+    val = measure_torch_baseline()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_clips_per_sec": val,
+                   "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+                   "note": "reference ScoreTranscription, CPU, batch 1, "
+                           "random weights, full-length greedy decode"},
+                  f, indent=2)
+    return val
+
+
+def main():
+    ours = measure_ours()
+    baseline = get_baseline()
+    print(json.dumps({
+        "metric": "clips_per_sec_per_chip",
+        "value": round(ours, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

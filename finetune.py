@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Finetune on real recordings (ASAP).
+
+Usage: python finetune.py configs/finetune.yaml [key=value ...]
+
+Warm-starts from the pretrained checkpoints by importing them with their
+WER meta reset to 100 so a new best can register (the reference's cp -r +
+CKPT.yaml rewrite; reference: finetune.py:250-258). Teacher forcing is fixed
+at 0.6 (decay 1.0 in the config).
+"""
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("hparams")
+    parser.add_argument("overrides", nargs="*")
+    parser.add_argument("--data-parallel", action="store_true")
+    args = parser.parse_args(argv)
+
+    from piano_a2s_tpu.config import load_experiment
+    from piano_a2s_tpu.data import ASAPDataset, DataLoader
+    from piano_a2s_tpu.train.harness import Trainer
+
+    exp = load_experiment(args.hparams, args.overrides)
+    os.makedirs(exp.output_folder, exist_ok=True)
+
+    trainer = Trainer(exp, use_mesh=args.data_parallel)
+    pretrained_save = os.path.join(exp.pretrained_output_folder, "save")
+    if not trainer.checkpointer.latest_path() and \
+            os.path.isdir(pretrained_save):
+        trainer.checkpointer.import_from(pretrained_save,
+                                         reset_meta={"WER": 100})
+
+    train_ds = ASAPDataset(exp.feature_folder, "train",
+                           max_frame_num=exp.max_frame_num,
+                           max_length=exp.max_length)
+    # valid == test in the reference finetune setup (finetune.py:261-263)
+    test_ds = ASAPDataset(exp.feature_folder, "test",
+                          max_frame_num=exp.max_frame_num,
+                          max_length=exp.max_length)
+
+    trainer.fit(
+        DataLoader(train_ds, exp.batch_size, shuffle=True, seed=exp.seed),
+        DataLoader(test_ds, exp.batch_size))
+    stats = trainer.evaluate(DataLoader(test_ds, exp.batch_size),
+                             min_key="WER")
+    print({k: round(v, 4) for k, v in stats.items()})
+
+
+if __name__ == "__main__":
+    sys.exit(main())

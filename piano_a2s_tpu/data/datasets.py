@@ -1,0 +1,223 @@
+"""Dataset loaders.
+
+Host-side numpy implementations of the reference's dataset contract
+(reference: datasets/syn.py, datasets/asap.py:276-401). One deliberate
+TPU-first change: items stay on the HOST as numpy (the reference moves
+tensors to the device inside __getitem__, syn.py:113); batches are
+device-put once per step with the batch sharding.
+
+On-disk layout (identical to the reference):
+  {feature_folder}/{split}/{version}/spectrogram/{name}.npy   (T, 480)
+  {feature_folder}/{split}/{version}/target/{name}.pkl
+      pickle: list of per-measure [key, time_sig, lower_tokens, upper_tokens]
+  {feature_folder}/{split}/{version}/info/{name}.json         (composer etc.)
+
+Item contract (the reference's 9-tuple, as a dict):
+  spectrogram (1, max_frame_num, 480) f32; time_sig (bars,) i32 (index into
+  the 7-entry table); key (bars,) i32 (signature + 6 -> 0..13); upper/lower
+  (bars, max_len) i32 padded with <pad>, <eos> after the last token;
+  upper_lengths/lower_lengths (bars,) i32 = min(len, max_len) WITHOUT the
+  EOS; name; version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..symbolic.vocab import LabelsMultiple
+
+_METADATA_DIR = os.path.join(os.path.dirname(__file__), "metadata")
+
+
+def load_time_signatures() -> List[str]:
+    with open(os.path.join(_METADATA_DIR, "time_signature_list.json")) as f:
+        return json.load(f)
+
+
+def load_split_list(name: str) -> List[str]:
+    with open(os.path.join(_METADATA_DIR, name)) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def _load_npy(path: str) -> np.ndarray:
+    return np.load(path)
+
+
+def _load_pkl(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class _DatasetBase:
+    def __init__(self, feature_folder: str, split: str,
+                 max_frame_num: int = 1201,
+                 max_length=(398, 189)):
+        self.feature_folder = feature_folder
+        self.split = split
+        self.max_frame_num = max_frame_num
+        self.max_length = tuple(max_length)
+        self.time_sig_list = load_time_signatures()
+        self.time_sig_dict = {t: i for i, t in enumerate(self.time_sig_list)}
+        self.labels = LabelsMultiple(extended=True)
+        self.pad_id = self.labels.labels_map["<pad>"]
+        self.eos_id = self.labels.labels_map["<eos>"]
+
+    # -- padding helpers (reference: syn.py:46-74) --------------------------
+
+    def pad_spectrogram(self, spec: np.ndarray) -> np.ndarray:
+        out = np.zeros((self.max_frame_num, spec.shape[-1]), np.float32)
+        n = min(spec.shape[0], self.max_frame_num)
+        out[:n] = spec[:n]
+        return out[None]  # (1, T, bins)
+
+    def pad_single_measure(self, measure: Sequence[int],
+                           max_length: int) -> np.ndarray:
+        out = np.full((max_length,), self.pad_id, np.int32)
+        m = list(measure)[:max_length]
+        out[: len(m)] = m
+        if len(m) < max_length:
+            out[len(m)] = self.eos_id
+        return out
+
+    def pad_score(self, score: List[Sequence[int]], max_length: int):
+        padded = np.stack([self.pad_single_measure(m, max_length)
+                           for m in score])
+        lengths = np.array([min(len(m), max_length) for m in score],
+                           np.int32)
+        return padded, lengths
+
+    # -- item assembly -------------------------------------------------------
+
+    def _item(self, feature_folder: str, spectrogram_name: str,
+              version) -> Dict[str, Any]:
+        target_name = spectrogram_name.split("~")[0]
+        spec = _load_npy(os.path.join(feature_folder, "spectrogram",
+                                      f"{spectrogram_name}.npy"))
+        score = _load_pkl(os.path.join(feature_folder, "target",
+                                       f"{target_name}.pkl"))
+        key = np.array([int(m[0]) for m in score], np.int32) + 6
+        time_sig = np.array([self.time_sig_dict[m[1]] for m in score],
+                            np.int32)
+        upper, upper_len = self.pad_score([m[3] for m in score],
+                                          self.max_length[0])
+        lower, lower_len = self.pad_score([m[2] for m in score],
+                                          self.max_length[1])
+        return {"spectrogram": self.pad_spectrogram(spec),
+                "time_sig": time_sig, "key": key,
+                "upper": upper, "upper_lengths": upper_len,
+                "lower": lower, "lower_lengths": lower_len,
+                "name": spectrogram_name, "version": version}
+
+
+class SyntheticTrainDataset(_DatasetBase):
+    """Random version (of the 10 renderings) per item
+    (reference: syn.py:76-121)."""
+
+    def __init__(self, feature_folder: str, split: str = "train",
+                 versions=range(10), rng: Optional[np.random.RandomState]
+                 = None, **kw):
+        super().__init__(feature_folder, split, **kw)
+        self.versions = list(versions)
+        self.rng = rng or np.random.RandomState()
+        self.song_list: Dict[Any, List[str]] = {}
+        self.lengths: Dict[Any, int] = {}
+        for v in self.versions:
+            folder = os.path.join(feature_folder, split, str(v),
+                                  "spectrogram")
+            songs = sorted(s[:-4] for s in os.listdir(folder))
+            self.song_list[v] = songs
+            self.lengths[v] = len(songs)
+
+    def __len__(self) -> int:
+        return max(self.lengths.values())
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        v = self.versions[self.rng.randint(len(self.versions))]
+        folder = os.path.join(self.feature_folder, self.split, str(v))
+        songs = self.song_list[v]
+        return self._item(folder, songs[idx % len(songs)], v)
+
+
+class SyntheticTestDataset(_DatasetBase):
+    """Enumerates (song, version) pairs (reference: syn.py:123-170)."""
+
+    def __init__(self, feature_folder: str, split: str,
+                 versions=(0,), **kw):
+        super().__init__(feature_folder, split, **kw)
+        self.items: List[tuple] = []
+        for v in versions:
+            folder = os.path.join(feature_folder, split, str(v),
+                                  "spectrogram")
+            for song in sorted(os.listdir(folder)):
+                self.items.append((song[:-4], v))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        name, v = self.items[idx]
+        folder = os.path.join(self.feature_folder, self.split, str(v))
+        return self._item(folder, name, v)
+
+
+class ASAPDataset(_DatasetBase):
+    """Real-recording dataset; single version named 'asap'
+    (reference: asap.py:276-401)."""
+
+    def __init__(self, feature_folder: str, split: str, **kw):
+        super().__init__(feature_folder, split, **kw)
+        folder = os.path.join(feature_folder, split, "spectrogram")
+        self.songs = sorted(s[:-4] for s in os.listdir(folder))
+
+    def __len__(self) -> int:
+        return len(self.songs)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        folder = os.path.join(self.feature_folder, self.split)
+        return self._item(folder, self.songs[idx], "asap")
+
+
+def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack items into a device-ready batch dict (+ host-side names)."""
+    batch = {}
+    for k in ("spectrogram", "time_sig", "key", "upper", "upper_lengths",
+              "lower", "lower_lengths"):
+        batch[k] = np.stack([it[k] for it in items])
+    batch["names"] = [it["name"] for it in items]
+    batch["versions"] = [it["version"] for it in items]
+    return batch
+
+
+class DataLoader:
+    """Minimal host-side loader: shuffling + batching + optional padding of
+    the final batch to a full batch (static shapes keep XLA happy)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, pad_final_batch: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.pad_final_batch = pad_final_batch
+
+    def __len__(self) -> int:
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start: start + self.batch_size]
+            items = [self.dataset[int(i)] for i in idxs]
+            n_real = len(items)
+            if self.pad_final_batch and n_real < self.batch_size:
+                items = items + [items[-1]] * (self.batch_size - n_real)
+            batch = collate(items)
+            batch["n_real"] = n_real
+            yield batch

@@ -1,0 +1,130 @@
+"""Checkpointing with keep-best-by-metric semantics.
+
+Replaces SpeechBrain's Checkpointer (reference: hparams/pretrain.yaml:110-116,
+pretrain.py:185-187): recoverables are params, BN state, optimizer state,
+NewBob scheduler state, and the epoch counter; ``save_and_keep_only`` keeps
+the single best checkpoint by a minimized metric (WER). The finetune
+warm-start (copy + WER reset; reference: finetune.py:250-258) is
+``import_from`` with ``reset_meta``.
+
+Storage: orbax for the array pytrees, JSON for scalar/host state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+CKPT_PREFIX = "CKPT"
+
+
+class Checkpointer:
+    def __init__(self, checkpoints_dir: str):
+        self.dir = os.path.abspath(checkpoints_dir)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- enumeration --------------------------------------------------------
+
+    def _ckpt_dirs(self) -> List[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(
+            os.path.join(self.dir, d) for d in os.listdir(self.dir)
+            if d.startswith(CKPT_PREFIX)
+            and os.path.exists(os.path.join(self.dir, d, "meta.json")))
+
+    def _read_meta(self, path: str) -> Dict[str, Any]:
+        with open(os.path.join(path, "meta.json")) as f:
+            return json.load(f)
+
+    # -- save ---------------------------------------------------------------
+
+    def save(self, trees: Dict[str, Any], meta: Dict[str, Any],
+             host_state: Optional[Dict[str, Any]] = None) -> str:
+        """Save one checkpoint: `trees` are array pytrees (params, state,
+        opt_state), `meta` are metrics, `host_state` is JSON-serializable
+        (scheduler, epoch counter)."""
+        tag = f"{CKPT_PREFIX}+{time.strftime('%Y-%m-%d+%H-%M-%S')}+{len(self._ckpt_dirs()):02d}"
+        path = os.path.join(self.dir, tag)
+        os.makedirs(path, exist_ok=True)
+        ckptr = ocp.PyTreeCheckpointer()
+        for name, tree in trees.items():
+            ckptr.save(os.path.join(path, name),
+                       jax.tree.map(np.asarray, tree))
+        with open(os.path.join(path, "host_state.json"), "w") as f:
+            json.dump(host_state or {}, f, indent=2)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"unixtime": time.time(), **meta}, f, indent=2)
+        return path
+
+    def save_and_keep_only(self, trees, meta, host_state=None,
+                           min_keys: Tuple[str, ...] = ("WER",)) -> str:
+        """Save, then delete every checkpoint that is not the best (lowest)
+        on each of min_keys (union kept)."""
+        path = self.save(trees, meta, host_state)
+        ckpts = self._ckpt_dirs()
+        keep = set()
+        for key in min_keys:
+            with_key = [(self._read_meta(c).get(key, float("inf")), c)
+                        for c in ckpts]
+            keep.add(min(with_key, key=lambda x: x[0])[1])
+        for c in ckpts:
+            if c not in keep:
+                shutil.rmtree(c)
+        return path
+
+    # -- load ---------------------------------------------------------------
+
+    def best_path(self, min_key: str = "WER") -> Optional[str]:
+        ckpts = self._ckpt_dirs()
+        if not ckpts:
+            return None
+        return min(ckpts,
+                   key=lambda c: self._read_meta(c).get(min_key,
+                                                        float("inf")))
+
+    def latest_path(self) -> Optional[str]:
+        ckpts = self._ckpt_dirs()
+        if not ckpts:
+            return None
+        return max(ckpts, key=lambda c: self._read_meta(c)["unixtime"])
+
+    def load(self, path: str, templates: Dict[str, Any]):
+        """Restore array pytrees (with `templates` giving structure/dtypes)
+        plus (host_state, meta)."""
+        ckptr = ocp.PyTreeCheckpointer()
+        trees = {}
+        for name, template in templates.items():
+            target = jax.tree.map(np.asarray, template)
+            trees[name] = jax.tree.map(
+                jax.numpy.asarray,
+                ckptr.restore(os.path.join(path, name), item=target))
+        with open(os.path.join(path, "host_state.json")) as f:
+            host_state = json.load(f)
+        meta = self._read_meta(path)
+        return trees, host_state, meta
+
+    # -- warm start ---------------------------------------------------------
+
+    def import_from(self, other_dir: str,
+                    reset_meta: Optional[Dict[str, Any]] = None) -> None:
+        """Copy checkpoints from another save dir (finetune warm-start),
+        optionally overwriting metric values (e.g. WER=100)."""
+        other = Checkpointer(other_dir)
+        for src in other._ckpt_dirs():
+            dst = os.path.join(self.dir, os.path.basename(src))
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+            if reset_meta:
+                meta = self._read_meta(dst)
+                meta.update(reset_meta)
+                with open(os.path.join(dst, "meta.json"), "w") as f:
+                    json.dump(meta, f, indent=2)

@@ -1,0 +1,194 @@
+"""Offline evaluation pipeline: MV2H + MUSTER + WER/F1 summaries.
+
+Port of the reference's evaluate.py with our self-contained score export
+(reference: evaluate.py:10-172). The MV2H Java tool and the MUSTER shell
+script remain external — they ARE the benchmark — and are invoked behind
+the same shell contract (scripts/evaluate_midi_mv2h.sh); everything up to
+the MIDI files (token decode, tie repair, MusicXML/MIDI writing) is native.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import subprocess
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..symbolic.export import export_target
+
+MV2H_KEYS = ["Multi-pitch", "Voice", "Meter", "Value", "Harmony", "MV2H"]
+_SCRIPT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "scripts",
+    "evaluate_midi_mv2h.sh")
+
+
+def _load_json(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def run_mv2h_pair(target_midi: str, pred_midi: str, mv2h_bin: str,
+                  timeout: float = 10.0) -> Optional[Dict[str, float]]:
+    """Run the MV2H tool on one (reference, transcription) MIDI pair."""
+    try:
+        output = subprocess.check_output(
+            ["sh", _SCRIPT, target_midi, pred_midi, mv2h_bin],
+            timeout=timeout, stderr=subprocess.DEVNULL)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+            FileNotFoundError):
+        return None
+    lines = output.decode("utf-8").splitlines()[-6:]
+    try:
+        result = {k: float(v) for k, v in
+                  (line.split(": ") for line in lines)}
+    except ValueError:
+        return None
+    return result
+
+
+def get_mv2h_from_test(output_folder: str, split: str, mv2h_bin: str,
+                       timeout: float = 10.0) -> List[str]:
+    """Per result JSON: export pred & target scores to MusicXML/MIDI, run
+    MV2H, save per-clip metric JSONs; failures recorded in errors.txt
+    (reference: evaluate.py:10-65)."""
+    results_dir = os.path.join(output_folder, "results")
+    for d in ("mv2h", "scores/pred", "scores/target", "midi/pred",
+              "midi/target"):
+        os.makedirs(os.path.join(results_dir, d), exist_ok=True)
+    errors: List[str] = []
+    split_dir = os.path.join(results_dir, split)
+    for result_file in sorted(os.listdir(split_dir)):
+        if not result_file.endswith(".json"):
+            continue
+        id_ = result_file[:-5]
+        paths = {
+            "pred_xml": f"{results_dir}/scores/pred/{id_}_pred.xml",
+            "target_xml": f"{results_dir}/scores/target/{id_}_target.xml",
+            "pred_midi": f"{results_dir}/midi/pred/{id_}_pred.mid",
+            "target_midi": f"{results_dir}/midi/target/{id_}_target.mid",
+            "mv2h": f"{results_dir}/mv2h/{id_}_mv2h.json",
+        }
+        if os.path.exists(paths["mv2h"]):
+            continue
+        result = _load_json(os.path.join(split_dir, result_file))
+        try:
+            export_target(result["pred"], paths["pred_xml"],
+                          paths["pred_midi"])
+            with open(result["target_path"], "rb") as f:
+                target = pickle.load(f)
+            export_target(target, paths["target_xml"], paths["target_midi"])
+        except Exception:
+            errors.append(id_)
+            continue
+        metrics = run_mv2h_pair(paths["target_midi"], paths["pred_midi"],
+                                mv2h_bin, timeout)
+        if metrics is None:
+            continue
+        if metrics.get("MV2H", 0) == 0:
+            errors.append(id_)
+            continue
+        with open(paths["mv2h"], "w") as f:
+            json.dump(metrics, f, indent=2)
+    with open(os.path.join(results_dir, "errors.txt"), "w") as f:
+        f.writelines(e + "\n" for e in errors)
+    return errors
+
+
+def summarize_syn_mv2h(results_dir: str, composer: str = "all",
+                       soundfont: str = "all", test_split: str = "all"):
+    """Running-mean MV2H with composer/soundfont/sub-dataset filters
+    (reference: evaluate.py:67-103)."""
+    assert composer in ["all", "score", "Bach", "Mozart", "Chopin"]
+    assert soundfont in ["all", "Upright", "Salamander", "YDP"]
+    assert test_split in ["all", "musesyn", "humsyn"]
+    mv2h_folder = os.path.join(results_dir, "results", "mv2h")
+    metrics = {k: 0.0 for k in MV2H_KEYS}
+    n = 0
+    for mv2h_file in sorted(os.listdir(mv2h_folder)):
+        id_ = mv2h_file[:-5]
+        v, chunk_id, sf = id_.split("~")[:3]
+        skip = False
+        for i, c in enumerate(["score", "Bach", "Mozart", "Chopin"]):
+            if composer == c and int(v) != i:
+                skip = True
+        for s in ["Upright", "Salamander", "YDP"]:
+            if soundfont == s and sf[:1] != s[0]:
+                skip = True
+        if test_split == "musesyn" and chunk_id[:1].islower():
+            skip = True
+        if test_split == "humsyn" and chunk_id[:1].isupper():
+            skip = True
+        if skip:
+            continue
+        mv2h = _load_json(os.path.join(mv2h_folder, mv2h_file))
+        for k in MV2H_KEYS:
+            metrics[k] += (mv2h[k] - metrics[k]) / (n + 1)
+        n += 1
+    four_way = (metrics["Multi-pitch"] + metrics["Voice"]
+                + metrics["Value"] + metrics["Harmony"]) / 4
+    return metrics, four_way, n
+
+
+def summarize_asap_mv2h(results_dir: str):
+    """(reference: evaluate.py:105-119)"""
+    mv2h_folder = os.path.join(results_dir, "results", "mv2h")
+    metrics = {k: 0.0 for k in MV2H_KEYS}
+    n = 0
+    for mv2h_file in sorted(os.listdir(mv2h_folder)):
+        mv2h = _load_json(os.path.join(mv2h_folder, mv2h_file))
+        for k in MV2H_KEYS:
+            metrics[k] += (mv2h[k] - metrics[k]) / (n + 1)
+        n += 1
+    four_way = (metrics["Multi-pitch"] + metrics["Voice"]
+                + metrics["Value"] + metrics["Harmony"]) / 4
+    return metrics, four_way, n
+
+
+def summarize_wer_and_f1(results_dir: str, split: str = "test"):
+    """(reference: evaluate.py:121-135)"""
+    folder = os.path.join(results_dir, "results", split)
+    keys = ["wer_upper", "wer_lower", "key_f1", "time_f1"]
+    metrics = {k: 0.0 for k in keys}
+    i = 0
+    for result_file in sorted(os.listdir(folder)):
+        if not result_file.endswith(".json"):
+            continue
+        result = _load_json(os.path.join(folder, result_file))
+        for k in keys:
+            metrics[k] += (result[k] - metrics[k]) / (i + 1)
+        i += 1
+    metrics["wer"] = (metrics["wer_upper"] + metrics["wer_lower"]) / 2
+    return metrics, i
+
+
+def get_muster_er(results_dir: str,
+                  muster_script: str = "./MUSTER/evaluate_XML_voicePlus.sh"):
+    """MUSTER 11-component score error rate over exported XML pairs
+    (reference: evaluate.py:137-163). Requires the external MUSTER tool."""
+    pred_folder = os.path.join(results_dir, "results", "scores", "pred")
+    target_folder = os.path.join(results_dir, "results", "scores", "target")
+    mv2h_folder = os.path.join(results_dir, "results", "mv2h")
+    files = [f[:-10] for f in os.listdir(mv2h_folder) if f.endswith(".json")]
+    ers = np.zeros(11)
+    i = 0
+    for file in sorted(files):
+        try:
+            pred = os.path.join(pred_folder, file + "_pred")
+            target = os.path.join(target_folder, file + "_target")
+            subprocess.run([muster_script, pred, target, "ER"],
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, timeout=30)
+            with open("ER.txt") as f:
+                line = f.readline().strip()
+            current = np.array([float(x) for x in
+                                line.split(",")[12].split("\t")[1:]])
+            if np.isnan(current).any():
+                continue
+        except Exception:
+            continue
+        ers += current
+        i += 1
+    return (ers / max(i, 1)), i

@@ -1,0 +1,249 @@
+"""Training/evaluation harness — the reference's SpeechBrain ``ASR(sb.Brain)``
+re-implemented natively (reference: pretrain.py:31-214, finetune.py).
+
+Responsibilities: epoch loop with teacher-forcing decay, jitted train steps,
+free-running validation with WER / macro-F1, NewBob LR annealing on WER,
+keep-best-WER checkpointing with auto-resume, per-clip result JSONs, and the
+plain-text train log. All device work happens in two compiled XLA programs
+(train_step / eval_step); everything here is host orchestration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+
+from ..config import ExperimentConfig
+from ..models import init_params, init_state
+from ..parallel import make_mesh, put_batch, put_replicated
+from .checkpoint import Checkpointer
+from .logger import FileTrainLogger
+from .metrics import calculate_f1, calculate_wer, unpad
+from .schedulers import NewBobScheduler, teacher_forcing_ratio
+from .step import make_jitted_steps, make_optimizer, set_learning_rate
+
+
+class Trainer:
+    def __init__(self, exp: ExperimentConfig, use_mesh: bool = False,
+                 n_devices: Optional[int] = None):
+        self.exp = exp
+        self.cfg = exp.model_config()
+        self.mesh = make_mesh(n_devices) if use_mesh else None
+
+        seed_key = jax.random.PRNGKey(exp.seed)
+        k_init, self.rng = jax.random.split(seed_key)
+        self.params = init_params(k_init, self.cfg)
+        self.state = init_state(self.cfg)
+        self.optimizer = make_optimizer(
+            lr=exp.lr, rho=float(exp.extras.get("rho", 0.95)),
+            eps=float(exp.extras.get("eps", 1e-8)))
+        self.opt_state = self.optimizer.init(self.params)
+        self.train_step, self.eval_step = make_jitted_steps(
+            self.optimizer, self.cfg, mesh=self.mesh)
+
+        self.scheduler = NewBobScheduler(
+            initial_value=exp.lr, annealing_factor=exp.annealing_factor,
+            improvement_threshold=exp.improvement_threshold,
+            patient=exp.patient)
+        self.checkpointer = Checkpointer(exp.save_folder)
+        self.logger = FileTrainLogger(exp.train_log)
+        self.start_epoch = 1
+        self.global_step = 0
+        self.train_stats: Dict[str, Any] = {"loss": -1}
+
+        if self.mesh is not None:
+            self._replicate()
+
+    # ------------------------------------------------------------------ util
+
+    def _replicate(self):
+        self.params = put_replicated(self.params, self.mesh)
+        self.state = put_replicated(self.state, self.mesh)
+        self.opt_state = put_replicated(self.opt_state, self.mesh)
+
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        dev = {k: v for k, v in batch.items()
+               if k not in ("names", "versions", "n_real")}
+        if self.mesh is not None:
+            dev = put_batch(dev, self.mesh)
+        return dev
+
+    # ------------------------------------------------------------ checkpoint
+
+    def _trees(self):
+        return {"params": self.params, "state": self.state,
+                "opt_state": self.opt_state}
+
+    def _host_state(self, epoch: int):
+        return {"scheduler": self.scheduler.state_dict(), "epoch": epoch,
+                "global_step": self.global_step}
+
+    def save_checkpoint(self, epoch: int, meta: Dict[str, Any]):
+        self.checkpointer.save_and_keep_only(
+            self._trees(), meta, self._host_state(epoch), min_keys=("WER",))
+
+    def restore(self, path: str):
+        trees, host_state, meta = self.checkpointer.load(path, self._trees())
+        self.params = trees["params"]
+        self.state = trees["state"]
+        self.opt_state = trees["opt_state"]
+        if host_state.get("scheduler"):
+            self.scheduler.load_state_dict(host_state["scheduler"])
+        self.start_epoch = int(host_state.get("epoch", 0)) + 1
+        self.global_step = int(host_state.get("global_step", 0))
+        if self.mesh is not None:
+            self._replicate()
+        return meta
+
+    def try_resume(self) -> bool:
+        path = self.checkpointer.latest_path()
+        if path is None:
+            return False
+        self.restore(path)
+        return True
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, train_loader, valid_loader,
+            epochs: Optional[int] = None) -> None:
+        epochs = epochs or self.exp.number_of_epochs
+        self.try_resume()
+        for epoch in range(self.start_epoch, epochs + 1):
+            tf = teacher_forcing_ratio(self.exp.teacher_forcing_ratio,
+                                       self.exp.teacher_forcing_decay, epoch)
+            t0 = time.time()
+            losses, comps_hist = [], []
+            for batch in train_loader:
+                self.rng, step_key = jax.random.split(self.rng)
+                dev = self._device_batch(batch)
+                self.params, self.opt_state, self.state, out = \
+                    self.train_step(self.params, self.opt_state, self.state,
+                                    dev, step_key, tf)
+                self.global_step += 1
+                losses.append(float(jax.device_get(out.loss)))
+                comps_hist.append(
+                    {k: float(jax.device_get(v))
+                     for k, v in out.components.items()})
+            self.train_stats = {
+                "loss": float(np.mean(losses)) if losses else -1.0,
+                **{k: float(np.mean([c[k] for c in comps_hist]))
+                   for k in (comps_hist[0] if comps_hist else {})},
+                "teacher_forcing_ratio": tf,
+            }
+
+            stage_stats, _ = self._eval_stage(valid_loader, "valid", epoch)
+            old_lr, new_lr = self.scheduler(stage_stats["WER"])
+            self.opt_state = set_learning_rate(self.opt_state, new_lr)
+            self.logger.log_stats(
+                stats_meta={"epoch": epoch, "lr": old_lr,
+                            "epoch_time": round(time.time() - t0, 1)},
+                train_stats=self.train_stats, valid_stats=stage_stats)
+            self.save_checkpoint(epoch, {"loss": stage_stats["loss"],
+                                         "WER": stage_stats["WER"]})
+
+    # ------------------------------------------------------------- evaluate
+
+    def evaluate(self, test_loader, min_key: str = "WER"):
+        path = self.checkpointer.best_path(min_key)
+        if path is not None:
+            self.restore(path)
+        stage_stats, _ = self._eval_stage(test_loader, "test", epoch=None)
+        self.logger.log_stats(stats_meta={"stage": "test"},
+                              test_stats=stage_stats)
+        return stage_stats
+
+    # ------------------------------------------------------------ eval core
+
+    def _eval_stage(self, loader, split: str, epoch):
+        """Free-running decode over the loader; WER/F1; result JSONs
+        (reference: pretrain.py:95-214)."""
+        records: Dict[str, Dict[str, Any]] = {}
+        upper_pred, upper_tgt = {}, {}
+        lower_pred, lower_tgt = {}, {}
+        key_pred, key_tgt = {}, {}
+        ts_pred, ts_tgt = {}, {}
+        losses, comps_hist = [], []
+        time_sig_list = _load_time_sig_list()
+
+        for batch in loader:
+            dev = self._device_batch(batch)
+            out, preds = self.eval_step(self.params, self.state, dev)
+            losses.append(float(jax.device_get(out.loss)))
+            comps_hist.append({k: float(jax.device_get(v))
+                               for k, v in out.components.items()})
+            preds = jax.device_get(preds)
+            n_real = batch.get("n_real", len(batch["names"]))
+            for b in range(n_real):
+                id_ = f"{batch['versions'][b]}~{batch['names'][b]}"
+                upper_pred[id_] = [unpad(p).tolist()
+                                   for p in preds["upper_tokens"][b]]
+                upper_tgt[id_] = [unpad(t).tolist()
+                                  for t in batch["upper"][b]]
+                lower_pred[id_] = [unpad(p).tolist()
+                                   for p in preds["lower_tokens"][b]]
+                lower_tgt[id_] = [unpad(t).tolist()
+                                  for t in batch["lower"][b]]
+                key_pred[id_] = preds["key"][b].tolist()
+                key_tgt[id_] = np.asarray(batch["key"][b]).tolist()
+                ts_pred[id_] = preds["time_sig"][b].tolist()
+                ts_tgt[id_] = np.asarray(batch["time_sig"][b]).tolist()
+
+        wer_upper, wer_upper_d = calculate_wer(upper_pred, upper_tgt)
+        wer_lower, wer_lower_d = calculate_wer(lower_pred, lower_tgt)
+        key_f1, key_f1_d = calculate_f1(key_pred, key_tgt)
+        time_f1, time_f1_d = calculate_f1(ts_pred, ts_tgt)
+        stage_stats = {
+            "loss": float(np.mean(losses)) if losses else -1.0,
+            **{k: float(np.mean([c[k] for c in comps_hist]))
+               for k in (comps_hist[0] if comps_hist else {})},
+            "key_f1": key_f1, "time_f1": time_f1,
+            "WER_upper": wer_upper, "WER_lower": wer_lower,
+            "WER": (wer_upper + wer_lower) / 2,
+        }
+
+        # Per-clip result JSONs (reference: pretrain.py:189-214).
+        results_dir = os.path.join(self.exp.output_folder, "results", split)
+        os.makedirs(results_dir, exist_ok=True)
+        for id_ in upper_pred:
+            pred = []
+            for i in range(len(upper_pred[id_])):
+                pred.append([key_pred[id_][i] - 6,
+                             time_sig_list[ts_pred[id_][i]],
+                             lower_pred[id_][i], upper_pred[id_][i]])
+            parts = id_.split("~")
+            version = parts[0]
+            chunk_name = parts[1] if len(parts) > 1 else id_
+            soundfont = parts[2] if len(parts) > 2 else ""
+            style = "classical" if chunk_name[:1].islower() else "pop"
+            info_path = os.path.join(self.exp.feature_folder, split,
+                                     str(version), "info",
+                                     f"{chunk_name}.json")
+            composer = "unknown"
+            if os.path.exists(info_path):
+                with open(info_path) as f:
+                    composer = json.load(f).get("composer", "unknown")
+            target_path = os.path.join(self.exp.feature_folder, split,
+                                       str(version), "target",
+                                       f"{chunk_name}.pkl")
+            result = {"style": style, "soundfont": soundfont,
+                      "composer": composer, "target_path": target_path,
+                      "pred": pred,
+                      "wer_upper": wer_upper_d[id_],
+                      "wer_lower": wer_lower_d[id_],
+                      "key_f1": key_f1_d[id_],
+                      "time_f1": time_f1_d[id_]}
+            with open(os.path.join(results_dir, f"{id_}.json"), "w") as f:
+                json.dump(result, f, indent=2)
+        records = {"upper_pred": upper_pred, "upper_tgt": upper_tgt}
+        return stage_stats, records
+
+
+def _load_time_sig_list():
+    from ..data.datasets import load_time_signatures
+    return load_time_signatures()

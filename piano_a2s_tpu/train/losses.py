@@ -1,0 +1,39 @@
+"""Loss functions — 4-way NLL sum with pad masking.
+
+torch.nn.NLLLoss semantics (reference: pretrain.py:56-119,
+hparams/pretrain.yaml:49-54): mean over non-ignored targets; the staff
+losses ignore the <pad> index (147).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def nll(log_probs: jnp.ndarray, targets: jnp.ndarray,
+        ignore_index: int | None = None) -> jnp.ndarray:
+    """Negative log likelihood, mean over non-ignored targets.
+
+    log_probs: (..., C); targets: (...) int.
+    """
+    tgt = targets.astype(jnp.int32)
+    picked = jnp.take_along_axis(log_probs, tgt[..., None],
+                                 axis=-1)[..., 0]
+    if ignore_index is None:
+        return -jnp.mean(picked)
+    mask = (tgt != ignore_index).astype(log_probs.dtype)
+    total = jnp.sum(mask)
+    return -jnp.sum(picked * mask) / jnp.maximum(total, 1.0)
+
+
+def transcription_loss(outputs, batch, pad_index: int = 147):
+    """Total loss = time + key + upper + lower NLL (reference:
+    pretrain.py:69-88). Returns (loss, components dict)."""
+    ts_logp, key_logp, up_logp, low_logp = outputs[:4]
+    time_loss = nll(ts_logp, batch["time_sig"])
+    key_loss = nll(key_logp, batch["key"])
+    upper_loss = nll(up_logp, batch["upper"], ignore_index=pad_index)
+    lower_loss = nll(low_logp, batch["lower"], ignore_index=pad_index)
+    loss = time_loss + key_loss + upper_loss + lower_loss
+    return loss, {"time_loss": time_loss, "key_loss": key_loss,
+                  "upper_loss": upper_loss, "lower_loss": lower_loss}

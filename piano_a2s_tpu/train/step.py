@@ -1,0 +1,124 @@
+"""Jitted train / eval steps.
+
+One XLA program per step (forward + backward + Adadelta update), with
+SpeechBrain-Brain-equivalent safeguards (reference: pretrain.py:121-129):
+gradient global-norm clipping at 5.0 (sb default max_grad_norm) and
+skip-update on non-finite loss/gradients.
+
+The learning rate is injected as an optimizer hyperparameter so NewBob
+annealing between epochs does not recompile the step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.score_transcription import ModelConfig, forward
+from .losses import transcription_loss
+
+MAX_GRAD_NORM = 5.0
+
+
+def make_optimizer(lr: float = 1.0, rho: float = 0.95,
+                   eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adadelta, torch-compatible (reference: hparams/pretrain.yaml:44-47),
+    with an injectable learning rate."""
+    return optax.inject_hyperparams(optax.adadelta)(
+        learning_rate=lr, rho=rho, eps=eps)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate in-place on the optimizer state."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=opt_state.hyperparams["learning_rate"].dtype)
+    return opt_state
+
+
+def _ground_truth(batch: Dict[str, jnp.ndarray]):
+    return (batch["time_sig"], batch["key"], batch["upper"],
+            batch["upper_lengths"], batch["lower"], batch["lower_lengths"])
+
+
+class StepOutput(NamedTuple):
+    loss: jnp.ndarray
+    components: Dict[str, jnp.ndarray]
+
+
+def train_step(params, opt_state, state, batch, rng, tf_ratio,
+               optimizer: optax.GradientTransformation,
+               cfg: ModelConfig):
+    """Pure train step: returns (params, opt_state, state, StepOutput)."""
+
+    def loss_fn(p):
+        outs, new_state = forward(
+            p, state, batch["spectrogram"], rng, cfg=cfg, train=True,
+            ground_truth=_ground_truth(batch), tf_ratio=tf_ratio)
+        loss, comps = transcription_loss(outs, batch, cfg.pad)
+        return loss, (comps, new_state)
+
+    (loss, (comps, new_state)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+
+    gnorm = optax.global_norm(grads)
+    finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+    scale = jnp.where(gnorm > MAX_GRAD_NORM, MAX_GRAD_NORM / gnorm, 1.0)
+    grads = jax.tree.map(lambda g: g * scale, grads)
+
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    # Skip the update entirely on non-finite loss/grads (sb check_gradients).
+    pick = lambda new, old: jax.tree.map(  # noqa: E731
+        lambda a, b: jnp.where(finite, a, b), new, old)
+    new_params = pick(new_params, params)
+    new_opt_state = pick(new_opt_state, opt_state)
+    new_state = pick(new_state, state)
+    return new_params, new_opt_state, new_state, StepOutput(loss, comps)
+
+
+def eval_step(params, state, batch, cfg: ModelConfig):
+    """Free-running inference + loss of inference outputs vs targets
+    (reference: pretrain.py:131-136 — eval loss is computed on the
+    free-running decode). Returns (StepOutput, predictions dict)."""
+    outs, _ = forward(params, state, batch["spectrogram"],
+                      jax.random.PRNGKey(0), cfg=cfg, train=False,
+                      ground_truth=None, tf_ratio=0.0)
+    ts_logp, key_logp, up_logp, low_logp, aux = outs
+    loss, comps = transcription_loss(outs, batch, cfg.pad)
+    preds = {
+        "time_sig": jnp.argmax(ts_logp, axis=-1),
+        "key": jnp.argmax(key_logp, axis=-1),
+        "upper_tokens": aux["upper_tokens"],
+        "lower_tokens": aux["lower_tokens"],
+        "upper_lengths": aux["upper_lengths"],
+        "lower_lengths": aux["lower_lengths"],
+    }
+    return StepOutput(loss, comps), preds
+
+
+def make_jitted_steps(optimizer: optax.GradientTransformation,
+                      cfg: ModelConfig, mesh=None):
+    """Compile the steps. With a mesh, batches are sharded along the leading
+    (batch) axis of the `data` mesh axis and params/opt/state are replicated;
+    XLA inserts the gradient all-reduce (psum over ICI) automatically.
+    """
+    t_step = partial(train_step, optimizer=optimizer, cfg=cfg)
+    e_step = partial(eval_step, cfg=cfg)
+    if mesh is None:
+        return (jax.jit(t_step, donate_argnums=(0, 1, 2)),
+                jax.jit(e_step))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    t_jit = jax.jit(
+        t_step, donate_argnums=(0, 1, 2),
+        in_shardings=(repl, repl, repl, data, repl, repl),
+        out_shardings=(repl, repl, repl, repl))
+    e_jit = jax.jit(e_step, in_shardings=(repl, repl, data),
+                    out_shardings=(repl, data))
+    return t_jit, e_jit

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Pretrain on synthesized data.
+
+Usage (same surface as the reference, reference: README.md:116-122):
+    python pretrain.py configs/pretrain.yaml [key=value ...]
+    python pretrain.py configs/pretrain.yaml --data-parallel   # mesh DP
+
+Replaces `torchrun --nproc_per_node=N pretrain.py`: data parallelism is a
+JAX device mesh over all local chips (add jax.distributed.initialize for
+multi-host), enabled with --data-parallel.
+"""
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("hparams", help="YAML config path")
+    parser.add_argument("overrides", nargs="*", help="key=value overrides")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the batch over all devices (mesh DP)")
+    args = parser.parse_args(argv)
+
+    from piano_a2s_tpu.config import load_experiment
+    from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,
+                                    SyntheticTrainDataset)
+    from piano_a2s_tpu.train.harness import Trainer
+
+    exp = load_experiment(args.hparams, args.overrides)
+    os.makedirs(exp.output_folder, exist_ok=True)
+
+    import numpy as np
+    n_train_versions = int(exp.extras.get("train_versions", 10))
+    train_ds = SyntheticTrainDataset(
+        exp.feature_folder, "train", versions=range(n_train_versions),
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
+        rng=np.random.RandomState(exp.seed))
+    # 4 composer-EPR variants for 'epr', 1 for 'score'
+    # (reference: pretrain.py:271-274)
+    test_versions = range(4) if exp.midi_syn == "epr" else [0]
+    valid_ds = SyntheticTestDataset(
+        exp.feature_folder, "valid", versions=test_versions,
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+    test_ds = SyntheticTestDataset(
+        exp.feature_folder, "test", versions=test_versions,
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+
+    trainer = Trainer(exp, use_mesh=args.data_parallel)
+    trainer.fit(
+        DataLoader(train_ds, exp.batch_size, shuffle=True, seed=exp.seed),
+        DataLoader(valid_ds, exp.batch_size))
+    stats = trainer.evaluate(DataLoader(test_ds, exp.batch_size),
+                             min_key="WER")
+    print({k: round(v, 4) for k, v in stats.items()})
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""End-to-end harness test: build a tiny on-disk fixture dataset with the
+reference's folder layout, train 2 epochs, validate WER/F1/checkpoint/log
+behavior, resume, and evaluate."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from piano_a2s_tpu.config import ExperimentConfig
+from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,
+                                SyntheticTrainDataset)
+from piano_a2s_tpu.train.harness import Trainer
+
+N_FRAMES = 24
+N_BINS = 16
+
+
+def _make_fixture(root, split, version, n_songs=4, seed=0):
+    rng = np.random.RandomState(seed)
+    base = os.path.join(root, split, str(version))
+    for sub in ("spectrogram", "target", "info"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    for s in range(n_songs):
+        name = f"song{s}~v0~font{s % 2}"
+        spec = rng.rand(N_FRAMES - 2, N_BINS).astype(np.float32)
+        np.save(os.path.join(base, "spectrogram", f"{name}.npy"), spec)
+        target = []
+        for _ in range(2):  # max_bars = 2
+            key = int(rng.randint(-6, 8))
+            ts = ["4/4", "3/4"][rng.randint(2)]
+            lower = rng.randint(0, 140, rng.randint(2, 5)).tolist()
+            upper = rng.randint(0, 140, rng.randint(2, 6)).tolist()
+            target.append([key, ts, lower, upper])
+        with open(os.path.join(base, "target",
+                               f"{name.split('~')[0]}.pkl"), "wb") as f:
+            pickle.dump(target, f)
+        with open(os.path.join(base, "info",
+                               f"{name.split('~')[0]}.json"), "w") as f:
+            json.dump({"composer": "testcomposer"}, f)
+
+
+@pytest.fixture()
+def exp(tmp_path):
+    root = str(tmp_path / "features")
+    _make_fixture(root, "train", 0)
+    _make_fixture(root, "valid", 0, n_songs=2, seed=1)
+    _make_fixture(root, "test", 0, n_songs=2, seed=2)
+    out = str(tmp_path / "out")
+    return ExperimentConfig(
+        seed=7, workspace=str(tmp_path), output_folder=out,
+        feature_folder=root, save_folder=os.path.join(out, "save"),
+        train_log=os.path.join(out, "train_log.txt"),
+        max_length=(8, 6), max_bars=2, max_duration=1, frames_per_second=23,
+        bins_per_octave=4, n_octaves=4, number_of_epochs=2, batch_size=2,
+        conv_feature_size=16, hidden_size=16, note_emb_size=8,
+        staff_emb_size=8)
+
+
+def test_dataset_contract(exp):
+    ds = SyntheticTrainDataset(exp.feature_folder, "train", versions=[0],
+                               max_frame_num=exp.max_frame_num,
+                               max_length=exp.max_length,
+                               rng=np.random.RandomState(0))
+    item = ds[0]
+    assert item["spectrogram"].shape == (1, N_FRAMES, N_BINS)
+    assert item["time_sig"].shape == (2,)
+    assert item["upper"].shape == (2, 8)
+    assert item["lower"].shape == (2, 6)
+    # EOS directly after tokens, pad elsewhere
+    up, lens = item["upper"], item["upper_lengths"]
+    for bar in range(2):
+        assert up[bar, lens[bar]] == 146
+        assert (up[bar, lens[bar] + 1:] == 147).all()
+    assert (item["key"] >= 0).all() and (item["key"] < 14).all()
+
+
+def test_fit_evaluate_resume(exp):
+    train_ds = SyntheticTrainDataset(
+        exp.feature_folder, "train", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
+        rng=np.random.RandomState(0))
+    valid_ds = SyntheticTestDataset(
+        exp.feature_folder, "valid", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+    test_ds = SyntheticTestDataset(
+        exp.feature_folder, "test", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+
+    train_loader = DataLoader(train_ds, exp.batch_size, shuffle=True, seed=0)
+    valid_loader = DataLoader(valid_ds, exp.batch_size)
+    test_loader = DataLoader(test_ds, exp.batch_size)
+
+    trainer = Trainer(exp)
+    trainer.fit(train_loader, valid_loader)
+
+    # train log written with epoch lines
+    log = open(exp.train_log).read()
+    assert "epoch: 1" in log and "epoch: 2" in log
+    assert "WER" in log
+
+    # exactly one checkpoint kept (best WER)
+    ckpts = [d for d in os.listdir(exp.save_folder) if d.startswith("CKPT")]
+    assert len(ckpts) == 1
+
+    # per-clip result JSONs exist with the reference's record schema
+    results = os.listdir(os.path.join(exp.output_folder, "results", "valid"))
+    assert len(results) == 2
+    rec = json.load(open(os.path.join(exp.output_folder, "results", "valid",
+                                      results[0])))
+    for field in ("style", "soundfont", "composer", "pred", "wer_upper",
+                  "wer_lower", "key_f1", "time_f1"):
+        assert field in rec
+    assert rec["composer"] == "testcomposer"
+    assert len(rec["pred"]) == 2 and len(rec["pred"][0]) == 4
+
+    # evaluate loads best ckpt and writes test results
+    stats = trainer.evaluate(test_loader)
+    assert np.isfinite(stats["loss"]) and 0 <= stats["key_f1"] <= 1
+    assert os.path.isdir(os.path.join(exp.output_folder, "results", "test"))
+
+    # resume: a fresh trainer picks up after the kept (best-WER) checkpoint
+    # — keep-only-best means resume restarts after the BEST epoch, exactly
+    # like SpeechBrain's Checkpointer recovery under save_and_keep_only.
+    trainer2 = Trainer(exp)
+    assert trainer2.try_resume()
+    assert trainer2.start_epoch in (2, 3)
+    trainer2.fit(train_loader, valid_loader, epochs=3)
+    log = open(exp.train_log).read()
+    assert "epoch: 3" in log
