@@ -1,0 +1,137 @@
+"""End-to-end inference: audio -> VQT -> model -> per-bar score structure.
+
+The complete audio-to-score slice (SURVEY.md §7 minimum slice): a 12 s clip
+becomes the reference's target structure ``[[key, time_sig, lower_tokens,
+upper_tokens], ...]`` ready for Kern/MusicXML/MIDI export.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .data.datasets import load_time_signatures
+from .models import ModelConfig
+from .models.score_transcription import forward
+from .ops.vqt import VQTConfig, build_kernels, get_vqt
+from .train.metrics import unpad
+
+
+class Transcriber:
+    """Holds compiled inference state for repeated transcription calls."""
+
+    def __init__(self, params, state, cfg: ModelConfig = ModelConfig(),
+                 vqt_cfg: VQTConfig = VQTConfig(),
+                 max_frame_num: int = 1201):
+        self.params = params
+        self.state = state
+        self.cfg = cfg
+        self.vqt_cfg = vqt_cfg
+        self.max_frame_num = max_frame_num
+        self.kernels = tuple(map(jnp.asarray, build_kernels(vqt_cfg)))
+        self.time_sig_list = load_time_signatures()
+
+        def infer(params, state, spec_batch):
+            (ts, key, up, low, aux), _ = forward(
+                params, state, spec_batch, jax.random.PRNGKey(0), cfg=cfg,
+                train=False)
+            return (jnp.argmax(ts, -1), jnp.argmax(key, -1),
+                    aux["upper_tokens"], aux["lower_tokens"],
+                    aux["upper_lengths"], aux["lower_lengths"])
+
+        self._infer = jax.jit(infer)
+
+    # -- frontend -----------------------------------------------------------
+
+    def spectrogram(self, audio: np.ndarray) -> np.ndarray:
+        """12 s-max mono audio @ model sample rate -> (1, T, bins)."""
+        max_samples = (self.max_frame_num - 1) * self.vqt_cfg.hop_length
+        audio = np.asarray(audio, np.float32)[:max_samples]
+        if len(audio) < max_samples:
+            audio = np.pad(audio, (0, max_samples - len(audio)))
+        spec = np.asarray(get_vqt(audio, self.kernels, self.vqt_cfg))
+        out = np.zeros((self.max_frame_num, spec.shape[-1]), np.float32)
+        out[: spec.shape[0]] = spec[: self.max_frame_num]
+        return out[None]
+
+    # -- inference ----------------------------------------------------------
+
+    def transcribe_batch(self, audio_batch: Sequence[np.ndarray]
+                         ) -> List[List[list]]:
+        """List of mono clips -> list of per-clip target structures."""
+        specs = np.stack([self.spectrogram(a) for a in audio_batch])
+        ts, key, up, low, up_len, low_len = jax.device_get(
+            self._infer(self.params, self.state, specs))
+        out = []
+        for b in range(len(audio_batch)):
+            bars = []
+            for m in range(self.cfg.max_bars):
+                bars.append([
+                    int(key[b, m]) - 6,
+                    self.time_sig_list[int(ts[b, m])],
+                    unpad(low[b, m]).tolist(),
+                    unpad(up[b, m]).tolist(),
+                ])
+            out.append(bars)
+        return out
+
+    def transcribe(self, audio: np.ndarray) -> List[list]:
+        return self.transcribe_batch([audio])[0]
+
+
+def load_transcriber(checkpoint: Optional[str] = None,
+                     cfg: ModelConfig = ModelConfig(),
+                     vqt_cfg: VQTConfig = VQTConfig(),
+                     seed: int = 0) -> Transcriber:
+    """Build a Transcriber from an orbax save dir, a torch checkpoint file,
+    or (checkpoint=None) random init."""
+    from .models import init_params, init_state
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    state = init_state(cfg)
+    if checkpoint:
+        if checkpoint.endswith((".ckpt", ".pt", ".pth")):
+            from .models.convert import load_torch_checkpoint
+            params, state = load_torch_checkpoint(checkpoint, cfg)
+        else:
+            from .train.checkpoint import Checkpointer
+            import os
+            ckpt_dir = checkpoint
+            ckptr = Checkpointer(os.path.dirname(ckpt_dir)
+                                 if ckpt_dir.rstrip("/").split("/")[-1]
+                                 .startswith("CKPT") else ckpt_dir)
+            path = ckpt_dir if os.path.basename(
+                ckpt_dir.rstrip("/")).startswith("CKPT") \
+                else ckptr.best_path()
+            if path is None:
+                raise FileNotFoundError(f"no checkpoint under {checkpoint}")
+            trees, _, _ = ckptr.load(path, {"params": params,
+                                            "state": state})
+            params, state = trees["params"], trees["state"]
+    return Transcriber(params, state, cfg, vqt_cfg)
+
+
+def result_to_files(target: List[list], out_prefix: str,
+                    write_kern: bool = True, write_xml: bool = True,
+                    write_mid: bool = True) -> Dict[str, str]:
+    """Write {prefix}.krn/.xml/.mid from a target structure."""
+    from .symbolic.export import export_target, tokens_to_kern
+    paths = {}
+    if write_kern:
+        kern_upper = tokens_to_kern([m[3] for m in target])
+        kern_lower = tokens_to_kern([m[2] for m in target])
+        paths["kern"] = f"{out_prefix}.krn"
+        with open(paths["kern"], "w") as f:
+            f.write("!! upper staff\n" + kern_upper
+                    + "\n!! lower staff\n" + kern_lower + "\n")
+    xml_path = f"{out_prefix}.xml" if write_xml else None
+    mid_path = f"{out_prefix}.mid" if write_mid else None
+    export_target(target, xml_path, mid_path)
+    if xml_path:
+        paths["musicxml"] = xml_path
+    if mid_path:
+        paths["midi"] = mid_path
+    return paths

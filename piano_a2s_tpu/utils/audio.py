@@ -1,0 +1,70 @@
+"""Audio IO without external codec dependencies.
+
+WAV read/write via the stdlib wave module (PCM 16/24/32 and float32),
+polyphase resampling via scipy. Replaces librosa.load / torchaudio on the
+runtime path (reference: utilities.py:240-242 loads audio with librosa).
+"""
+
+from __future__ import annotations
+
+import wave
+from typing import Tuple
+
+import numpy as np
+from scipy import signal as _signal
+
+
+def float32_to_int16(x: np.ndarray) -> np.ndarray:
+    assert np.max(np.abs(x)) <= 1.0
+    return (x * 32767.0).astype(np.int16)
+
+
+def int16_to_float32(x: np.ndarray) -> np.ndarray:
+    return (x / 32767.0).astype(np.float32)
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (mono float32 in [-1, 1], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        # Could be PCM32 or float32; WAVE_FORMAT tag isn't exposed by the
+        # wave module — assume PCM32 (float WAVs are rare from synths).
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2**31
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        data = ((b[:, 0].astype(np.int32))
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        data = (data << 8 >> 8).astype(np.float32) / 2**23
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if n_ch > 1:
+        data = data.reshape(-1, n_ch).mean(axis=1)
+    return data, sr
+
+
+def write_wav(path: str, data: np.ndarray, sr: int) -> None:
+    data = np.clip(np.asarray(data, np.float32), -1.0, 1.0)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((data * 32767.0).astype("<i2").tobytes())
+
+
+def resample(data: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    if sr_in == sr_out:
+        return data
+    from math import gcd
+    g = gcd(sr_in, sr_out)
+    return _signal.resample_poly(data, sr_out // g, sr_in // g).astype(
+        np.float32)

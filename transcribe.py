@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Transcribe piano audio to score files (Kern / MusicXML / MIDI).
+
+Usage:
+    python transcribe.py input.wav [more.wav ...] \
+        [--checkpoint SAVE_DIR_OR_TORCH_CKPT] [--out-dir DIR]
+
+Each input becomes {out-dir}/{stem}.krn/.xml/.mid. Clips longer than 12 s
+are truncated (the model's capability envelope; reference README limitation).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("inputs", nargs="+", help="WAV files")
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax save dir or torch .ckpt (default: "
+                             "random weights — smoke mode)")
+    parser.add_argument("--out-dir", default=".")
+    args = parser.parse_args(argv)
+
+    from piano_a2s_tpu.infer import load_transcriber, result_to_files
+    from piano_a2s_tpu.utils.audio import read_wav, resample
+
+    tr = load_transcriber(args.checkpoint)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    clips = []
+    for path in args.inputs:
+        audio, sr = read_wav(path)
+        clips.append(resample(audio, sr, tr.vqt_cfg.sample_rate))
+
+    t0 = time.time()
+    results = tr.transcribe_batch(clips)
+    dt = time.time() - t0
+    for path, target in zip(args.inputs, results):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        prefix = os.path.join(args.out_dir, stem)
+        paths = result_to_files(target, prefix)
+        print(f"{path} -> {', '.join(sorted(paths.values()))}")
+    print(f"transcribed {len(clips)} clip(s) in {dt:.2f}s "
+          f"({len(clips) / dt:.2f} clips/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
