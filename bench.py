@@ -37,10 +37,13 @@ def measure_ours() -> float:
     state = init_state(cfg)
     kernels = tuple(map(jnp.asarray, build_kernels(VQTConfig())))
     rng = np.random.RandomState(0)
-    audio = (0.2 * rng.randn(BATCH, 12 * 16000)).astype(np.float32)
+    # Distinct audio per iteration; host->device uploads overlap with
+    # compute through async dispatch (pipelined serving pattern).
+    audio_batches = [(0.2 * rng.randn(BATCH, 12 * 16000)).astype(np.float32)
+                     for _ in range(ITERS + 1)]
 
     def pipeline(params, state, audio):
-        spec = jax.vmap(lambda a: get_vqt(a, kernels))(audio)
+        spec = get_vqt(audio, kernels)  # batched: (B, 1201, 480)
         spec = spec[:, None, :, :]  # (B, 1, 1201, 480)
         (ts, key, up, low, aux), _ = forward(
             params, state, spec, jax.random.PRNGKey(0), cfg=cfg,
@@ -50,12 +53,15 @@ def measure_ours() -> float:
                 aux["upper_lengths"], aux["lower_lengths"])
 
     fn = jax.jit(pipeline)
-    jax.device_get(fn(params, state, audio))  # compile + warm
+    jax.device_get(fn(params, state, jax.device_put(audio_batches[-1])))
     t0 = time.time()
-    for _ in range(ITERS):
-        out = jax.device_get(fn(params, state, audio))
+    outs = []
+    for audio in audio_batches[:ITERS]:
+        outs.append(fn(params, state, jax.device_put(audio)))
+        if len(outs) > 1:
+            jax.device_get(outs[-2])  # drain previous; keeps 1 in flight
+    jax.device_get(outs[-1])
     dt = (time.time() - t0) / ITERS
-    del out
     return BATCH / dt
 
 

@@ -186,16 +186,18 @@ def conv_stack_apply(params, state, x: jnp.ndarray, train: bool,
 
 
 def encoder_apply(params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """x: (B, T, F_in) -> (enc (B, T, 2H), bridge hidden (B, 2H))."""
+    """x: (B, T, F_in) -> (enc (B, T, 2H), bridge hidden (B, 2H)).
+
+    Each bidirectional layer runs as a single fused scan (both directions
+    stacked) — see ops.gru.bidir_gru_layer."""
     xs = jnp.swapaxes(x, 0, 1)  # (T, B, F)
     B = xs.shape[1]
     h0 = jnp.zeros((B, params["fc"]["w"].shape[1]), xs.dtype)
-    f0, h_l0f = G.gru_sequence(params["l0_fwd"], xs, h0)
-    b0, h_l0b = G.gru_sequence(params["l0_bwd"], xs, h0, reverse=True)
-    l0 = jnp.concatenate([f0, b0], axis=-1)
-    f1, h_l1f = G.gru_sequence(params["l1_fwd"], l0, h0)
-    b1, h_l1b = G.gru_sequence(params["l1_bwd"], l0, h0, reverse=True)
-    enc = jnp.swapaxes(jnp.concatenate([f1, b1], axis=-1), 0, 1)
+    l0, h_l0f, h_l0b = G.bidir_gru_layer(params["l0_fwd"], params["l0_bwd"],
+                                         xs, h0)
+    l1, h_l1f, h_l1b = G.bidir_gru_layer(params["l1_fwd"], params["l1_bwd"],
+                                         l0, h0)
+    enc = jnp.swapaxes(l1, 0, 1)
     # Bridge (reference: models.py:77-82): per-layer tanh(fc([h_fwd; h_bwd]))
     # then concatenate the two layers.
     h1 = jnp.tanh(L.linear(params["fc"],
@@ -227,6 +229,184 @@ def _note_lengths(signal: jnp.ndarray, max_steps: int) -> jnp.ndarray:
     return jnp.where(any_valid, last + 1, max_steps).astype(jnp.int32)
 
 
+def _note_step(params, cfg: ModelConfig, enc, enc_proj, h, tok_emb,
+               key, train: bool):
+    """One decode step: dropout -> attention -> GRU -> output head."""
+    tok = L.dropout(key, tok_emb, 0.1, train)
+    context, _ = A.attention_step(params["attn"], enc_proj, enc, h)
+    x = jnp.concatenate([tok, context], axis=-1)
+    h = G.gru_step(params["gru"], x, h)
+    out = L.linear(params["out"], jnp.concatenate([h, context], axis=-1))
+    logp = jax.nn.log_softmax(out, axis=-1)
+    pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+    return h, logp, pred
+
+
+def stack_staff_params(upper, lower):
+    """Stack the (shape-identical) upper/lower decoder params on a leading
+    axis so both staves decode in ONE scan (see note_decoder_dual_*)."""
+    return jax.tree.map(lambda a, b: jnp.stack([a, b]), upper, lower)
+
+
+def _dual_step(dual_params, cfg: ModelConfig, enc, enc_proj2, h2, tok2,
+               keys2, train: bool):
+    """One decode step for BOTH staves, vmapped over the leading axis.
+
+    TPU-first: the reference decodes the upper staff's 398 steps then the
+    lower's 189 sequentially (models.py:260-275); stacking them runs one
+    398-step chain instead of 587 and doubles the per-step matmul rows.
+    """
+    def step(params, enc_proj, h, tok, key):
+        return _note_step(params, cfg, enc, enc_proj, h, tok, key, train)
+
+    return jax.vmap(step, in_axes=(0, 0, 0, 0, 0))(
+        dual_params, enc_proj2, h2, tok2, keys2)
+
+
+def _dual_embed(dual_params, ids2: jnp.ndarray) -> jnp.ndarray:
+    """Per-staff embedding lookup: ids2 (2, B) -> (2, B, E)."""
+    return jax.vmap(lambda emb, ids: jnp.take(emb, ids, axis=0))(
+        dual_params["emb"]["emb"], ids2)
+
+
+def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
+                           h0, gt_up, gt_low, tf_ratio, train: bool, rng):
+    """Teacher-forced decode of one bar for BOTH staves in one fixed-length
+    scan of max(T_up, T_low) steps. Returns per-staff (logp, tokens,
+    lengths)."""
+    B = enc.shape[0]
+    t_up, t_low = cfg.max_length
+    T = max(t_up, t_low)
+    gt_low_p = jnp.pad(jnp.asarray(gt_low), ((0, 0), (0, T - t_low)),
+                       constant_values=cfg.pad)
+    gt2 = jnp.stack([jnp.asarray(gt_up), gt_low_p]).astype(jnp.int32)
+    gt_xs = jnp.moveaxis(gt2, 2, 0)  # (T, 2, B)
+    sos2 = _dual_embed(dual_params, jnp.full((2, B), cfg.sos, jnp.int32))
+    step_keys = jax.random.split(rng, T * 4).reshape(T, 4, 2)
+
+    def body(carry, xs):
+        h2, tok2 = carry
+        keys, gt_t = xs  # keys (4, 2); gt_t (2, B)
+        h2, logp2, pred2 = _dual_step(dual_params, cfg, enc, enc_proj2,
+                                      h2, tok2, keys[:2], train)
+        # One coin per staff per step, shared across the batch
+        # (reference: models.py:404).
+        coins = jax.vmap(jax.random.uniform)(keys[2:]) < tf_ratio
+        next2 = jnp.where(coins[:, None], gt_t, pred2)
+        tok2 = _dual_embed(dual_params, next2)
+        return (h2, tok2), (logp2, pred2)
+
+    h0_2 = jnp.stack([h0, h0])
+    (_, _), (logps, preds) = jax.lax.scan(body, (h0_2, sos2),
+                                          (step_keys, gt_xs))
+    # logps: (T, 2, B, V) -> per staff (B, T_staff, V)
+    up_logp = jnp.swapaxes(logps[:, 0], 0, 1)[:, :t_up]
+    low_logp = jnp.swapaxes(logps[:, 1], 0, 1)[:, :t_low]
+    up_tok = jnp.swapaxes(preds[:, 0], 0, 1)[:, :t_up]
+    low_tok = jnp.swapaxes(preds[:, 1], 0, 1)[:, :t_low]
+    up_len = _note_lengths(jnp.asarray(gt_up) == cfg.eos, t_up)
+    low_len = _note_lengths(jnp.asarray(gt_low) == cfg.eos, t_low)
+    return (up_logp, up_tok, up_len), (low_logp, low_tok, low_len)
+
+
+def note_decoder_dual_infer(dual_params, cfg: ModelConfig, enc, enc_proj2,
+                            h0):
+    """Greedy decode of both staves in one early-exit while_loop.
+
+    Per-staff stopping mirrors the reference exactly: staff s runs while
+    t < its max_steps and not every batch item emitted EOS; buffers stay
+    zero past its stop. The loop runs to the LATEST staff stop — on real
+    data ~max(len_up, len_low) sequential steps instead of 398+189.
+    """
+    B = enc.shape[0]
+    t_up, t_low = cfg.max_length
+    T = max(t_up, t_low)
+    caps = jnp.array([t_up, t_low], jnp.int32)
+    sos2 = _dual_embed(dual_params, jnp.full((2, B), cfg.sos, jnp.int32))
+    logps0 = jnp.zeros((T, 2, B, cfg.vocab_size), enc.dtype)
+    preds0 = jnp.zeros((T, 2, B), jnp.int32)
+    state0 = (jnp.array(0, jnp.int32), jnp.stack([h0, h0]), sos2,
+              jnp.zeros((2, B), bool),
+              jnp.stack([jnp.full((B,), t_up, jnp.int32),
+                         jnp.full((B,), t_low, jnp.int32)]),
+              logps0, preds0)
+
+    def active(t, done):
+        return (t < caps) & ~jnp.all(done, axis=1)  # (2,)
+
+    def cond(s):
+        t, _, _, done, _, _, _ = s
+        return jnp.any(active(t, done))
+
+    def body(s):
+        t, h2, tok2, done, lengths, logps, preds = s
+        act = active(t, done)  # (2,) executed-this-step per staff
+        keys = jnp.zeros((2, 2), jnp.uint32)  # dropout off at inference
+        h2_new, logp2, pred2 = _dual_step(dual_params, cfg, enc, enc_proj2,
+                                          h2, tok2, keys, False)
+        h2 = jnp.where(act[:, None, None], h2_new, h2)
+        write_logp = jnp.where(act[:, None, None], logp2, 0.0)
+        write_pred = jnp.where(act[:, None], pred2, 0)
+        logps = jax.lax.dynamic_update_index_in_dim(logps, write_logp, t, 0)
+        preds = jax.lax.dynamic_update_index_in_dim(preds, write_pred, t, 0)
+        is_eos = (pred2 == cfg.eos) & act[:, None]
+        lengths = jnp.where(is_eos, t + 1, lengths)
+        done = done | is_eos
+        tok2_new = _dual_embed(dual_params, pred2)
+        tok2 = jnp.where(act[:, None, None], tok2_new, tok2)
+        return (t + 1, h2, tok2, done, lengths, logps, preds)
+
+    (_, _, _, done, lengths, logps, preds) = jax.lax.while_loop(
+        cond, body, state0)
+    up = (jnp.swapaxes(logps[:, 0], 0, 1)[:, :t_up],
+          jnp.swapaxes(preds[:, 0], 0, 1)[:, :t_up], lengths[0])
+    low = (jnp.swapaxes(logps[:, 1], 0, 1)[:, :t_low],
+           jnp.swapaxes(preds[:, 1], 0, 1)[:, :t_low], lengths[1])
+    return up, low
+
+
+def note_decoder_infer(params, cfg: ModelConfig, enc: jnp.ndarray,
+                       enc_proj: jnp.ndarray, h0: jnp.ndarray,
+                       max_steps: int):
+    """Greedy decode with data-dependent early exit (lax.while_loop).
+
+    Reproduces the reference's stopping rule literally (models.py:388-419):
+    run while not every batch item has emitted EOS; `lengths` records the
+    last EOS step + 1 seen before the stop. Output rows past the stop step
+    stay zero, exactly like the reference's preallocated buffers — typical
+    bars stop after a few dozen steps instead of 398, which is the big
+    real-data inference win.
+    """
+    B = enc.shape[0]
+    sos_emb = L.embed(params["emb"], jnp.full((B,), cfg.sos, jnp.int32))
+    logps0 = jnp.zeros((max_steps, B, cfg.vocab_size), enc.dtype)
+    preds0 = jnp.zeros((max_steps, B), jnp.int32)
+    state0 = (jnp.array(0, jnp.int32), h0, sos_emb,
+              jnp.zeros((B,), bool),
+              jnp.full((B,), max_steps, jnp.int32), logps0, preds0)
+
+    def cond(s):
+        t, _, _, done, _, _, _ = s
+        return (t < max_steps) & ~jnp.all(done)
+
+    def body(s):
+        t, h, tok_emb, done, lengths, logps, preds = s
+        h, logp, pred = _note_step(params, cfg, enc, enc_proj, h, tok_emb,
+                                   jax.random.PRNGKey(0), train=False)
+        logps = jax.lax.dynamic_update_index_in_dim(logps, logp, t, 0)
+        preds = jax.lax.dynamic_update_index_in_dim(preds, pred, t, 0)
+        is_eos = pred == cfg.eos
+        lengths = jnp.where(is_eos, t + 1, lengths)
+        done = done | is_eos
+        tok_emb = L.embed(params["emb"], pred)
+        return (t + 1, h, tok_emb, done, lengths, logps, preds)
+
+    (_, _, _, done, lengths, logps, preds) = jax.lax.while_loop(
+        cond, body, state0)
+    return (jnp.swapaxes(logps, 0, 1), jnp.swapaxes(preds, 0, 1),
+            lengths.astype(jnp.int32))
+
+
 def note_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
                        enc_proj: jnp.ndarray, h0: jnp.ndarray,
                        max_steps: int,
@@ -239,6 +419,10 @@ def note_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
     None. Returns (log_probs (B, max_steps, V), tokens (B, max_steps),
     lengths (B,)).
     """
+    if gt_tokens is None and not train:
+        # Inference: data-dependent early exit saves most of the fixed
+        # 398/189 steps on real data.
+        return note_decoder_infer(params, cfg, enc, enc_proj, h0, max_steps)
     B = enc.shape[0]
     sos_emb = L.embed(params["emb"], jnp.full((B,), cfg.sos, jnp.int32))
     step_keys = jax.random.split(rng, max_steps)
@@ -311,6 +495,8 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
     enc_proj_bar = A.precompute_enc_proj(dec["attn"], enc)
     enc_proj_up = A.precompute_enc_proj(dec["upper"]["attn"], enc)
     enc_proj_low = A.precompute_enc_proj(dec["lower"]["attn"], enc)
+    dual_params = stack_staff_params(dec["upper"], dec["lower"])
+    enc_proj2 = jnp.stack([enc_proj_up, enc_proj_low])
 
     # SOS bootstrap token (reference: models.py:141-162): staff summary of
     # [<sos>, <eos>] duplicated for both staves + SOS time/key embeddings.
@@ -348,14 +534,16 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
         bar_summary = G.gru_step(dec["gru"], rnn_in, hidden)
         hidden = bar_summary  # single-layer GRU: output == new hidden
 
-        up_gt_bar = up_t if has_gt else None
-        low_gt_bar = low_t if has_gt else None
-        up_logp, up_tok, up_len = note_decoder_apply(
-            dec["upper"], cfg, enc, enc_proj_up, bar_summary,
-            cfg.max_length[0], up_gt_bar, tf_ratio, train, k_up)
-        low_logp, low_tok, low_len = note_decoder_apply(
-            dec["lower"], cfg, enc, enc_proj_low, bar_summary,
-            cfg.max_length[1], low_gt_bar, tf_ratio, train, k_low)
+        if has_gt:
+            ((up_logp, up_tok, up_len),
+             (low_logp, low_tok, low_len)) = note_decoder_dual_scan(
+                dual_params, cfg, enc, enc_proj2, bar_summary,
+                up_t, low_t, tf_ratio, train, k_up)
+        else:
+            ((up_logp, up_tok, up_len),
+             (low_logp, low_tok, low_len)) = note_decoder_dual_infer(
+                dual_params, cfg, enc, enc_proj2, bar_summary)
+        del k_low
 
         head_in = jnp.concatenate([bar_summary, context], axis=-1)
         ts_logp = _mlp_head(dec["time_head"], head_in)

@@ -99,6 +99,44 @@ def gru_sequence(params, xs: jnp.ndarray, h0: jnp.ndarray,
     return hs, h_t
 
 
+def bidir_gru_layer(params_fwd, params_bwd, xs: jnp.ndarray,
+                    h0: jnp.ndarray):
+    """One bidirectional GRU layer as a SINGLE scan.
+
+    Both directions run in one lax.scan by stacking them on a leading axis
+    (the backward direction sees the time-reversed sequence); the recurrent
+    matmul becomes one batched (2, B, H) x (2, H, 3H) contraction. Halves
+    the sequential-step count vs two separate scans — the encoder's
+    dominant cost on TPU.
+
+    xs: (T, B, in); h0: (B, H). Returns (out (T, B, 2H), h_fwd, h_bwd).
+    """
+    w_ih = jnp.stack([params_fwd["w_ih"], params_bwd["w_ih"]])
+    b_ih = jnp.stack([params_fwd["b_ih"], params_bwd["b_ih"]])
+    w_hh = jnp.stack([params_fwd["w_hh"], params_bwd["w_hh"]])
+    b_hh = jnp.stack([params_fwd["b_hh"], params_bwd["b_hh"]])
+
+    xs_dual = jnp.stack([xs, xs[::-1]], axis=1)  # (T, 2, B, in)
+    x_proj = jnp.einsum("tdbi,dik->tdbk", xs_dual, w_ih) + b_ih[:, None]
+
+    def body(h, xp):
+        h_proj = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None]
+        ir, iz, inn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(ir + hr)
+        z = jax.nn.sigmoid(iz + hz)
+        n = jnp.tanh(inn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0_dual = jnp.stack([h0, h0])
+    h_final, hs = jax.lax.scan(body, h0_dual, x_proj)
+    fwd = hs[:, 0]
+    bwd = hs[:, 1][::-1]
+    return (jnp.concatenate([fwd, bwd], axis=-1),
+            h_final[0], h_final[1])
+
+
 def gru_sequence_masked_final(params, xs: jnp.ndarray, lengths: jnp.ndarray,
                               reverse: bool = False) -> jnp.ndarray:
     """Final hidden state of a GRU over variable-length sequences.

@@ -42,7 +42,10 @@ class VQTConfig:
     n_octaves: int = 8
     gamma: float = 20.0
     filter_scale: float = 1.0
-    window_size: int = 1024  # covers the longest filter (~787 taps)
+    # Covers the longest filter (~787 taps). A multiple of hop_length
+    # enables gather-free framing (reshape + 7 contiguous slices), which
+    # batches well on TPU; non-multiples fall back to a gather.
+    window_size: int = 1120
 
     @property
     def n_bins(self) -> int:
@@ -101,38 +104,60 @@ def num_frames(n_samples: int, cfg: VQTConfig = VQTConfig()) -> int:
 # TPU path
 # ---------------------------------------------------------------------------
 
+def _frame_signal(y_pad: jnp.ndarray, n: int, hop: int,
+                  w: int) -> jnp.ndarray:
+    """(..., L_pad) -> (..., n, w) sliding frames at stride hop.
+
+    Fast path (hop | w): reshape to hop-rows and concatenate w//hop
+    contiguous row slices — no gather, batches cleanly under vmap.
+    """
+    if w % hop == 0:
+        k = w // hop
+        required = (n + k - 1) * hop
+        if y_pad.shape[-1] < required:
+            pad_amt = [(0, 0)] * (y_pad.ndim - 1) + [
+                (0, required - y_pad.shape[-1])]
+            y_pad = jnp.pad(y_pad, pad_amt)
+        rows = y_pad[..., :required].reshape(
+            y_pad.shape[:-1] + (n + k - 1, hop))
+        return jnp.concatenate(
+            [rows[..., i:i + n, :] for i in range(k)], axis=-1)
+    idx = jnp.arange(n)[:, None] * hop + jnp.arange(w)[None, :]
+    return jnp.take(y_pad, idx, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("n_samples", "cfg"))
 def _vqt_mag_jit(y: jnp.ndarray, cos_k: jnp.ndarray, sin_k: jnp.ndarray,
                  n_samples: int, cfg: VQTConfig) -> jnp.ndarray:
     w = cfg.window_size
     pad = w // 2
-    y_pad = jnp.pad(y, (pad, pad))
+    y_pad = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)])
     n = num_frames(n_samples, cfg)
-    idx = (jnp.arange(n)[:, None] * cfg.hop_length
-           + jnp.arange(w)[None, :])
-    frames = jnp.take(y_pad, idx, axis=0)  # (n_frames, W)
+    frames = _frame_signal(y_pad, n, cfg.hop_length, w)  # (..., n, W)
     re = frames @ cos_k  # MXU
     im = frames @ sin_k
-    return jnp.sqrt(re * re + im * im)  # (n_frames, n_bins)
+    return jnp.sqrt(re * re + im * im)  # (..., n_frames, n_bins)
 
 
 def vqt_magnitude(y: jnp.ndarray, kernels, cfg: VQTConfig = VQTConfig()):
-    """VQT magnitude of a 1-D audio array: (n_frames, n_bins)."""
+    """VQT magnitude: 1-D audio -> (n_frames, n_bins); batched audio
+    (..., L) -> (..., n_frames, n_bins)."""
     cos_k, sin_k = kernels
     return _vqt_mag_jit(jnp.asarray(y, jnp.float32), cos_k, sin_k,
-                        int(np.shape(y)[0]), cfg)
+                        int(np.shape(y)[-1]), cfg)
 
 
 def log_compress(mag: jnp.ndarray, amin: float = 1e-5,
                  top_db: float = 80.0) -> jnp.ndarray:
     """librosa amplitude_to_db(ref=max, top_db) / 80 + 1 (utilities.py:253).
 
-    Output in [0, 1].
+    Output in [0, 1]. For batched input (..., T, F) the max-reference is
+    taken per clip (last two axes), matching per-clip offline computation.
     """
     power = jnp.maximum(mag, amin) ** 2
-    ref = jnp.max(power)
+    ref = jnp.max(power, axis=(-2, -1), keepdims=True)
     db = 10.0 * (jnp.log10(power) - jnp.log10(ref))
-    db = jnp.maximum(db, jnp.max(db) - top_db)
+    db = jnp.maximum(db, jnp.max(db, axis=(-2, -1), keepdims=True) - top_db)
     return db / top_db + 1.0
 
 

@@ -46,6 +46,9 @@ def run_mv2h_pair(target_midi: str, pred_midi: str, mv2h_bin: str,
                   (line.split(": ") for line in lines)}
     except ValueError:
         return None
+    if not all(k in result for k in MV2H_KEYS):
+        # java/MV2H unavailable or tool produced no scores
+        return None
     return result
 
 

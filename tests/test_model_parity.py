@@ -112,8 +112,10 @@ def test_inference_parity(pair, x64):
     (j_ts, j_key, j_up, j_low), aux = _jax_forward(params, state, spec)
     np.testing.assert_allclose(j_ts, t_ts, atol=1e-8)
     np.testing.assert_allclose(j_key, t_key, atol=1e-8)
-    _compare_staff(t_up, j_up, "upper")
-    _compare_staff(t_low, j_low, "lower")
+    # Early-exit decode leaves zeros after the stop step exactly like the
+    # reference's preallocated buffers -> FULL tensors must match.
+    np.testing.assert_allclose(j_up, t_up, atol=1e-8)
+    np.testing.assert_allclose(j_low, t_low, atol=1e-8)
     # Greedy tokens where torch ran match our argmax.
     ran = np.abs(t_up).sum(-1) > 0
     assert (np.asarray(aux["upper_tokens"])[ran]
