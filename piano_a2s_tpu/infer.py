@@ -26,7 +26,7 @@ class Transcriber:
 
     def __init__(self, params, state, cfg: ModelConfig = ModelConfig(),
                  vqt_cfg: VQTConfig = VQTConfig(),
-                 max_frame_num: int = 1201):
+                 max_frame_num: int = 1201, decode_dtype=None):
         self.params = params
         self.state = state
         self.cfg = cfg
@@ -38,7 +38,7 @@ class Transcriber:
         def infer(params, state, spec_batch):
             (ts, key, up, low, aux), _ = forward(
                 params, state, spec_batch, jax.random.PRNGKey(0), cfg=cfg,
-                train=False)
+                train=False, decode_dtype=decode_dtype)
             return (jnp.argmax(ts, -1), jnp.argmax(key, -1),
                     aux["upper_tokens"], aux["lower_tokens"],
                     aux["upper_lengths"], aux["lower_lengths"])
@@ -86,7 +86,7 @@ class Transcriber:
 def load_transcriber(checkpoint: Optional[str] = None,
                      cfg: ModelConfig = ModelConfig(),
                      vqt_cfg: VQTConfig = VQTConfig(),
-                     seed: int = 0) -> Transcriber:
+                     seed: int = 0, decode_dtype=None) -> Transcriber:
     """Build a Transcriber from an orbax save dir, a torch checkpoint file,
     or (checkpoint=None) random init."""
     from .models import init_params, init_state
@@ -111,7 +111,8 @@ def load_transcriber(checkpoint: Optional[str] = None,
             trees, _, _ = ckptr.load(path, {"params": params,
                                             "state": state})
             params, state = trees["params"], trees["state"]
-    return Transcriber(params, state, cfg, vqt_cfg)
+    return Transcriber(params, state, cfg, vqt_cfg,
+                       decode_dtype=decode_dtype)
 
 
 def result_to_files(target: List[list], out_prefix: str,

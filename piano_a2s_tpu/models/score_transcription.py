@@ -231,13 +231,20 @@ def _note_lengths(signal: jnp.ndarray, max_steps: int) -> jnp.ndarray:
 
 def _note_step(params, cfg: ModelConfig, enc, enc_proj, h, tok_emb,
                key, train: bool):
-    """One decode step: dropout -> attention -> GRU -> output head."""
+    """One decode step: dropout -> attention -> GRU -> output head.
+
+    The decode loop is HBM-bandwidth-bound (enc + enc_proj + GRU weights
+    re-read every one of ~398 sequential steps); if those arrays arrive as
+    bfloat16 (see `decode_dtype`), the attention/GRU matmuls read half the
+    bytes while logits are promoted back to f32 for a stable log-softmax
+    and argmax."""
     tok = L.dropout(key, tok_emb, 0.1, train)
     context, _ = A.attention_step(params["attn"], enc_proj, enc, h)
     x = jnp.concatenate([tok, context], axis=-1)
     h = G.gru_step(params["gru"], x, h)
     out = L.linear(params["out"], jnp.concatenate([h, context], axis=-1))
-    logp = jax.nn.log_softmax(out, axis=-1)
+    logp = jax.nn.log_softmax(
+        out.astype(jnp.promote_types(out.dtype, jnp.float32)), axis=-1)
     pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
     return h, logp, pred
 
@@ -323,7 +330,8 @@ def note_decoder_dual_infer(dual_params, cfg: ModelConfig, enc, enc_proj2,
     T = max(t_up, t_low)
     caps = jnp.array([t_up, t_low], jnp.int32)
     sos2 = _dual_embed(dual_params, jnp.full((2, B), cfg.sos, jnp.int32))
-    logps0 = jnp.zeros((T, 2, B, cfg.vocab_size), enc.dtype)
+    logps0 = jnp.zeros((T, 2, B, cfg.vocab_size),
+                       jnp.promote_types(enc.dtype, jnp.float32))
     preds0 = jnp.zeros((T, 2, B), jnp.int32)
     state0 = (jnp.array(0, jnp.int32), jnp.stack([h0, h0]), sos2,
               jnp.zeros((2, B), bool),
@@ -379,7 +387,8 @@ def note_decoder_infer(params, cfg: ModelConfig, enc: jnp.ndarray,
     """
     B = enc.shape[0]
     sos_emb = L.embed(params["emb"], jnp.full((B,), cfg.sos, jnp.int32))
-    logps0 = jnp.zeros((max_steps, B, cfg.vocab_size), enc.dtype)
+    logps0 = jnp.zeros((max_steps, B, cfg.vocab_size),
+                       jnp.promote_types(enc.dtype, jnp.float32))
     preds0 = jnp.zeros((max_steps, B), jnp.int32)
     state0 = (jnp.array(0, jnp.int32), h0, sos_emb,
               jnp.zeros((B,), bool),
@@ -483,10 +492,16 @@ def _mlp_head(head, x: jnp.ndarray) -> jnp.ndarray:
 
 def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
                                hidden: jnp.ndarray,
-                               ground_truth, tf_ratio, train: bool, rng):
+                               ground_truth, tf_ratio, train: bool, rng,
+                               decode_dtype=None):
     """Decode max_bars bars. ground_truth is None (inference) or the tuple
     (time_sig (B,bars), key (B,bars), upper (B,bars,Tu), upper_len (B,bars),
     lower (B,bars,Tl), lower_len (B,bars)).
+
+    decode_dtype: optional storage dtype (e.g. jnp.bfloat16) for the
+    note-decoder loop's large operands (enc, attention projections, staff
+    params) — halves the HBM traffic that bounds decode speed. Logits,
+    softmaxes and emitted log-probs stay float32. None = full f32 (parity).
     """
     dec = params["decoder"]
     B = enc.shape[0]
@@ -497,6 +512,15 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
     enc_proj_low = A.precompute_enc_proj(dec["lower"]["attn"], enc)
     dual_params = stack_staff_params(dec["upper"], dec["lower"])
     enc_proj2 = jnp.stack([enc_proj_up, enc_proj_low])
+    if decode_dtype is not None:
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: a.astype(decode_dtype)
+            if a.dtype == jnp.float32 else a, t)
+        dual_params = cast(dual_params)
+        enc_proj2 = enc_proj2.astype(decode_dtype)
+        enc_dec = enc.astype(decode_dtype)
+    else:
+        enc_dec = enc
 
     # SOS bootstrap token (reference: models.py:141-162): staff summary of
     # [<sos>, <eos>] duplicated for both staves + SOS time/key embeddings.
@@ -534,15 +558,16 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
         bar_summary = G.gru_step(dec["gru"], rnn_in, hidden)
         hidden = bar_summary  # single-layer GRU: output == new hidden
 
+        bar_h0 = bar_summary.astype(enc_dec.dtype)
         if has_gt:
             ((up_logp, up_tok, up_len),
              (low_logp, low_tok, low_len)) = note_decoder_dual_scan(
-                dual_params, cfg, enc, enc_proj2, bar_summary,
+                dual_params, cfg, enc_dec, enc_proj2, bar_h0,
                 up_t, low_t, tf_ratio, train, k_up)
         else:
             ((up_logp, up_tok, up_len),
              (low_logp, low_tok, low_len)) = note_decoder_dual_infer(
-                dual_params, cfg, enc, enc_proj2, bar_summary)
+                dual_params, cfg, enc_dec, enc_proj2, bar_h0)
         del k_low
 
         head_in = jnp.concatenate([bar_summary, context], axis=-1)
@@ -593,19 +618,21 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
 
 def forward(params, state, spectrogram: jnp.ndarray, rng,
             cfg: ModelConfig = ModelConfig(), train: bool = False,
-            ground_truth=None, tf_ratio=0.0):
+            ground_truth=None, tf_ratio=0.0, decode_dtype=None):
     """Full model forward.
 
     spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
     key_logp (B,bars,14), upper_logp (B,bars,Tu,V), lower_logp (B,bars,Tl,V),
-    aux dict), new_state).
+    aux dict), new_state). decode_dtype=jnp.bfloat16 enables the
+    reduced-precision decode loop (see hierarchical_decoder_apply).
     """
     k_conv, k_dec = jax.random.split(rng)
     feats, new_conv_state = conv_stack_apply(
         params["convstack"], state["convstack"], spectrogram, train, k_conv)
     enc, hidden = encoder_apply(params["encoder"], feats)
     ts, key, up, low, aux = hierarchical_decoder_apply(
-        params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec)
+        params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec,
+        decode_dtype=decode_dtype)
     return (ts, key, up, low, aux), {"convstack": new_conv_state}
 
 

@@ -60,6 +60,11 @@ def attention_step(params, enc_proj: jnp.ndarray,
     q = query @ params["w_query"]  # (B, H)
     energy = jnp.tanh(enc_proj + q[:, None, :])  # (B, T, H)
     scores = energy @ params["v"]  # (B, T)
-    weights = jax.nn.softmax(scores, axis=-1)
-    context = jnp.einsum("bt,bth->bh", weights, encoder_outputs)
+    # Softmax in f32 even under bf16 decode (1201-way normalization).
+    weights = jax.nn.softmax(
+        scores.astype(jnp.promote_types(scores.dtype, jnp.float32)),
+        axis=-1)
+    context = jnp.einsum("bt,bth->bh",
+                         weights.astype(encoder_outputs.dtype),
+                         encoder_outputs)
     return context, weights

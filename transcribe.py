@@ -22,12 +22,19 @@ def main(argv=None):
                         help="orbax save dir or torch .ckpt (default: "
                              "random weights — smoke mode)")
     parser.add_argument("--out-dir", default=".")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 decode loop (~2x faster, tiny "
+                             "numeric deviation from f32)")
     args = parser.parse_args(argv)
 
     from piano_a2s_tpu.infer import load_transcriber, result_to_files
     from piano_a2s_tpu.utils.audio import read_wav, resample
 
-    tr = load_transcriber(args.checkpoint)
+    decode_dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+        decode_dtype = jnp.bfloat16
+    tr = load_transcriber(args.checkpoint, decode_dtype=decode_dtype)
     os.makedirs(args.out_dir, exist_ok=True)
 
     clips = []
