@@ -194,21 +194,24 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class DataLoader:
-    """Minimal host-side loader: shuffling + batching + optional padding of
-    the final batch to a full batch (static shapes keep XLA happy)."""
+    """Host-side loader: shuffling + batching + optional padding of the
+    final batch to a full batch (static shapes keep XLA happy), with
+    background-thread prefetch so disk IO overlaps device compute."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, pad_final_batch: bool = True):
+                 seed: int = 0, pad_final_batch: bool = True,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.pad_final_batch = pad_final_batch
+        self.prefetch = prefetch
 
     def __len__(self) -> int:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -221,3 +224,28 @@ class DataLoader:
             batch = collate(items)
             batch["n_real"] = n_real
             yield batch
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            batch = q.get()
+            if batch is sentinel:
+                break
+            yield batch
+        thread.join()

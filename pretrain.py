@@ -21,7 +21,14 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*", help="key=value overrides")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard the batch over all devices (mesh DP)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() so the "
+                             "mesh spans all hosts (DCN between hosts)")
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
 
     from piano_a2s_tpu.config import load_experiment
     from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,
