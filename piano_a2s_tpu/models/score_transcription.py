@@ -291,6 +291,9 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
     sos2 = _dual_embed(dual_params, jnp.full((2, B), cfg.sos, jnp.int32))
     step_keys = jax.random.split(rng, T * 4).reshape(T, 4, 2)
 
+    @jax.checkpoint  # remat: the (2,B,T_enc,H) attention energies would
+    # otherwise be saved for EVERY step (~20 GB at full size, B=4);
+    # recomputing them in the backward pass keeps activations ~step-sized.
     def body(carry, xs):
         h2, tok2 = carry
         keys, gt_t = xs  # keys (4, 2); gt_t (2, B)
