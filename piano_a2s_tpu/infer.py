@@ -62,8 +62,16 @@ class Transcriber:
 
     def transcribe_batch(self, audio_batch: Sequence[np.ndarray]
                          ) -> List[List[list]]:
-        """List of mono clips -> list of per-clip target structures."""
+        """List of mono clips -> list of per-clip target structures.
+
+        Batches are padded to the next power of two so repeated calls with
+        varying batch sizes reuse a handful of compiled programs."""
         specs = np.stack([self.spectrogram(a) for a in audio_batch])
+        n = len(audio_batch)
+        padded = max(1, 1 << (n - 1).bit_length())
+        if padded != n:
+            specs = np.concatenate(
+                [specs, np.repeat(specs[-1:], padded - n, axis=0)])
         ts, key, up, low, up_len, low_len = jax.device_get(
             self._infer(self.params, self.state, specs))
         out = []

@@ -277,10 +277,17 @@ def _dual_embed(dual_params, ids2: jnp.ndarray) -> jnp.ndarray:
 
 
 def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
-                           h0, gt_up, gt_low, tf_ratio, train: bool, rng):
+                           h0, gt_up, gt_low, tf_ratio, train: bool, rng,
+                           emit_full: bool = True):
     """Teacher-forced decode of one bar for BOTH staves in one fixed-length
     scan of max(T_up, T_low) steps. Returns per-staff (logp, tokens,
-    lengths)."""
+    lengths).
+
+    emit_full=False emits only the log-prob of the ground-truth token at
+    each step ("picked" NLL inputs, shape (B, T)) instead of full (B, T, V)
+    distributions — the full logits for one batch of 16 clips are 22 GB
+    and only their gt-gather is needed for the training loss.
+    """
     B = enc.shape[0]
     t_up, t_low = cfg.max_length
     T = max(t_up, t_low)
@@ -304,12 +311,17 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
         coins = jax.vmap(jax.random.uniform)(keys[2:]) < tf_ratio
         next2 = jnp.where(coins[:, None], gt_t, pred2)
         tok2 = _dual_embed(dual_params, next2)
-        return (h2, tok2), (logp2, pred2)
+        if emit_full:
+            emitted = logp2
+        else:
+            emitted = jnp.take_along_axis(logp2, gt_t[..., None],
+                                          axis=-1)[..., 0]  # (2, B)
+        return (h2, tok2), (emitted, pred2)
 
     h0_2 = jnp.stack([h0, h0])
     (_, _), (logps, preds) = jax.lax.scan(body, (h0_2, sos2),
                                           (step_keys, gt_xs))
-    # logps: (T, 2, B, V) -> per staff (B, T_staff, V)
+    # logps: (T, 2, B[, V]) -> per staff (B, T_staff[, V])
     up_logp = jnp.swapaxes(logps[:, 0], 0, 1)[:, :t_up]
     low_logp = jnp.swapaxes(logps[:, 1], 0, 1)[:, :t_low]
     up_tok = jnp.swapaxes(preds[:, 0], 0, 1)[:, :t_up]
@@ -496,7 +508,7 @@ def _mlp_head(head, x: jnp.ndarray) -> jnp.ndarray:
 def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
                                hidden: jnp.ndarray,
                                ground_truth, tf_ratio, train: bool, rng,
-                               decode_dtype=None):
+                               decode_dtype=None, emit_full: bool = True):
     """Decode max_bars bars. ground_truth is None (inference) or the tuple
     (time_sig (B,bars), key (B,bars), upper (B,bars,Tu), upper_len (B,bars),
     lower (B,bars,Tl), lower_len (B,bars)).
@@ -566,7 +578,7 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
             ((up_logp, up_tok, up_len),
              (low_logp, low_tok, low_len)) = note_decoder_dual_scan(
                 dual_params, cfg, enc_dec, enc_proj2, bar_h0,
-                up_t, low_t, tf_ratio, train, k_up)
+                up_t, low_t, tf_ratio, train, k_up, emit_full=emit_full)
         else:
             ((up_logp, up_tok, up_len),
              (low_logp, low_tok, low_len)) = note_decoder_dual_infer(
@@ -621,13 +633,16 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
 
 def forward(params, state, spectrogram: jnp.ndarray, rng,
             cfg: ModelConfig = ModelConfig(), train: bool = False,
-            ground_truth=None, tf_ratio=0.0, decode_dtype=None):
+            ground_truth=None, tf_ratio=0.0, decode_dtype=None,
+            emit_full: bool = True):
     """Full model forward.
 
     spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
     key_logp (B,bars,14), upper_logp (B,bars,Tu,V), lower_logp (B,bars,Tl,V),
     aux dict), new_state). decode_dtype=jnp.bfloat16 enables the
-    reduced-precision decode loop (see hierarchical_decoder_apply).
+    reduced-precision decode loop; emit_full=False (training only) returns
+    gt-picked log-probs (B,bars,T) in place of the upper/lower
+    distributions — see hierarchical_decoder_apply.
     """
     k_conv, k_dec = jax.random.split(rng)
     feats, new_conv_state = conv_stack_apply(
@@ -635,7 +650,7 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
     enc, hidden = encoder_apply(params["encoder"], feats)
     ts, key, up, low, aux = hierarchical_decoder_apply(
         params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec,
-        decode_dtype=decode_dtype)
+        decode_dtype=decode_dtype, emit_full=emit_full)
     return (ts, key, up, low, aux), {"convstack": new_conv_state}
 
 

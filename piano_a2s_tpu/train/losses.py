@@ -37,3 +37,24 @@ def transcription_loss(outputs, batch, pad_index: int = 147):
     loss = time_loss + key_loss + upper_loss + lower_loss
     return loss, {"time_loss": time_loss, "key_loss": key_loss,
                   "upper_loss": upper_loss, "lower_loss": lower_loss}
+
+
+def _masked_mean_neg(picked: jnp.ndarray, targets: jnp.ndarray,
+                     pad_index: int) -> jnp.ndarray:
+    mask = (targets.astype(jnp.int32) != pad_index).astype(picked.dtype)
+    total = jnp.maximum(jnp.sum(mask), 1.0)
+    return -jnp.sum(picked * mask) / total
+
+
+def transcription_loss_fused(outputs, batch, pad_index: int = 147):
+    """Same loss from gt-picked log-probs (forward(emit_full=False)):
+    upper/lower outputs are (B, bars, T) log-probs AT the target tokens,
+    so the (B, bars, T, V) distributions never exist in HBM."""
+    ts_logp, key_logp, up_picked, low_picked = outputs[:4]
+    time_loss = nll(ts_logp, batch["time_sig"])
+    key_loss = nll(key_logp, batch["key"])
+    upper_loss = _masked_mean_neg(up_picked, batch["upper"], pad_index)
+    lower_loss = _masked_mean_neg(low_picked, batch["lower"], pad_index)
+    loss = time_loss + key_loss + upper_loss + lower_loss
+    return loss, {"time_loss": time_loss, "key_loss": key_loss,
+                  "upper_loss": upper_loss, "lower_loss": lower_loss}

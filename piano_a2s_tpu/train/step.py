@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.score_transcription import ModelConfig, forward
-from .losses import transcription_loss
+from .losses import transcription_loss, transcription_loss_fused
 
 MAX_GRAD_NORM = 5.0
 
@@ -52,13 +52,18 @@ class StepOutput(NamedTuple):
 def train_step(params, opt_state, state, batch, rng, tf_ratio,
                optimizer: optax.GradientTransformation,
                cfg: ModelConfig):
-    """Pure train step: returns (params, opt_state, state, StepOutput)."""
+    """Pure train step: returns (params, opt_state, state, StepOutput).
+
+    Uses the fused-loss forward (emit_full=False): the per-step gt-picked
+    log-probs feed the NLL directly, so the (B, bars, T, V) staff
+    distributions (22 GB at B=16) are never materialized."""
 
     def loss_fn(p):
         outs, new_state = forward(
             p, state, batch["spectrogram"], rng, cfg=cfg, train=True,
-            ground_truth=_ground_truth(batch), tf_ratio=tf_ratio)
-        loss, comps = transcription_loss(outs, batch, cfg.pad)
+            ground_truth=_ground_truth(batch), tf_ratio=tf_ratio,
+            emit_full=False)
+        loss, comps = transcription_loss_fused(outs, batch, cfg.pad)
         return loss, (comps, new_state)
 
     (loss, (comps, new_state)), grads = jax.value_and_grad(
