@@ -20,6 +20,10 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+# Persistent XLA compilation cache: first compile through the TPU tunnel
+# can take minutes; repeat runs hit the cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
