@@ -7,7 +7,7 @@ upper_tokens], ...]`` ready for Kern/MusicXML/MIDI export.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

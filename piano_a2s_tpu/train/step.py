@@ -12,7 +12,7 @@ annealing between epochs does not recompile the step.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

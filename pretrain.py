@@ -14,6 +14,10 @@ import argparse
 import os
 import sys
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()

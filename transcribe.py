@@ -12,6 +12,10 @@ are truncated (the model's capability envelope; reference README limitation).
 import argparse
 import os
 import sys
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 import time
 
 
