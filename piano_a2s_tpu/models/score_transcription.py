@@ -388,105 +388,6 @@ def note_decoder_dual_infer(dual_params, cfg: ModelConfig, enc, enc_proj2,
     return up, low
 
 
-def note_decoder_infer(params, cfg: ModelConfig, enc: jnp.ndarray,
-                       enc_proj: jnp.ndarray, h0: jnp.ndarray,
-                       max_steps: int):
-    """Greedy decode with data-dependent early exit (lax.while_loop).
-
-    Reproduces the reference's stopping rule literally (models.py:388-419):
-    run while not every batch item has emitted EOS; `lengths` records the
-    last EOS step + 1 seen before the stop. Output rows past the stop step
-    stay zero, exactly like the reference's preallocated buffers — typical
-    bars stop after a few dozen steps instead of 398, which is the big
-    real-data inference win.
-    """
-    B = enc.shape[0]
-    sos_emb = L.embed(params["emb"], jnp.full((B,), cfg.sos, jnp.int32))
-    logps0 = jnp.zeros((max_steps, B, cfg.vocab_size),
-                       jnp.promote_types(enc.dtype, jnp.float32))
-    preds0 = jnp.zeros((max_steps, B), jnp.int32)
-    state0 = (jnp.array(0, jnp.int32), h0, sos_emb,
-              jnp.zeros((B,), bool),
-              jnp.full((B,), max_steps, jnp.int32), logps0, preds0)
-
-    def cond(s):
-        t, _, _, done, _, _, _ = s
-        return (t < max_steps) & ~jnp.all(done)
-
-    def body(s):
-        t, h, tok_emb, done, lengths, logps, preds = s
-        h, logp, pred = _note_step(params, cfg, enc, enc_proj, h, tok_emb,
-                                   jax.random.PRNGKey(0), train=False)
-        logps = jax.lax.dynamic_update_index_in_dim(logps, logp, t, 0)
-        preds = jax.lax.dynamic_update_index_in_dim(preds, pred, t, 0)
-        is_eos = pred == cfg.eos
-        lengths = jnp.where(is_eos, t + 1, lengths)
-        done = done | is_eos
-        tok_emb = L.embed(params["emb"], pred)
-        return (t + 1, h, tok_emb, done, lengths, logps, preds)
-
-    (_, _, _, done, lengths, logps, preds) = jax.lax.while_loop(
-        cond, body, state0)
-    return (jnp.swapaxes(logps, 0, 1), jnp.swapaxes(preds, 0, 1),
-            lengths.astype(jnp.int32))
-
-
-def note_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
-                       enc_proj: jnp.ndarray, h0: jnp.ndarray,
-                       max_steps: int,
-                       gt_tokens: Optional[jnp.ndarray],
-                       tf_ratio, train: bool, rng):
-    """Greedy/teacher-forced decode of one bar for one staff.
-
-    enc: (B, T_enc, 2H); enc_proj: precomputed attention projection;
-    h0: (B, 2H) bar summary (initial hidden); gt_tokens: (B, max_steps) or
-    None. Returns (log_probs (B, max_steps, V), tokens (B, max_steps),
-    lengths (B,)).
-    """
-    if gt_tokens is None and not train:
-        # Inference: data-dependent early exit saves most of the fixed
-        # 398/189 steps on real data.
-        return note_decoder_infer(params, cfg, enc, enc_proj, h0, max_steps)
-    B = enc.shape[0]
-    sos_emb = L.embed(params["emb"], jnp.full((B,), cfg.sos, jnp.int32))
-    step_keys = jax.random.split(rng, max_steps)
-    if gt_tokens is None:
-        gt_xs = jnp.zeros((max_steps, B), jnp.int32)
-    else:
-        gt_xs = jnp.swapaxes(gt_tokens, 0, 1).astype(jnp.int32)
-
-    def body(carry, xs):
-        h, tok_emb = carry
-        key, gt_t = xs
-        k_drop, k_coin = jax.random.split(key)
-        tok = L.dropout(k_drop, tok_emb, 0.1, train)
-        context, _ = A.attention_step(params["attn"], enc_proj, enc, h)
-        x = jnp.concatenate([tok, context], axis=-1)
-        h = G.gru_step(params["gru"], x, h)
-        out = L.linear(params["out"],
-                       jnp.concatenate([h, context], axis=-1))
-        logp = jax.nn.log_softmax(out, axis=-1)
-        pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-        if gt_tokens is not None:
-            # One coin per step, shared across the batch
-            # (reference: models.py:404, python random.random()).
-            use_gt = jax.random.uniform(k_coin) < tf_ratio
-            next_tok = jnp.where(use_gt, gt_t, pred)
-        else:
-            next_tok = pred
-        tok_emb = L.embed(params["emb"], next_tok)
-        return (h, tok_emb), (logp, pred)
-
-    (_, _), (logps, preds) = jax.lax.scan(
-        body, (h0, sos_emb), (step_keys, gt_xs))
-    log_probs = jnp.swapaxes(logps, 0, 1)  # (B, T, V)
-    tokens = jnp.swapaxes(preds, 0, 1)
-    signal = (gt_tokens == cfg.eos) if gt_tokens is not None \
-        else (tokens == cfg.eos)
-    lengths = _note_lengths(signal, max_steps)
-    return log_probs, tokens, lengths
-
-
 # ---------------------------------------------------------------------------
 # Hierarchical (bar-level) decoder
 # ---------------------------------------------------------------------------
