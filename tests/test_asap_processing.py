@@ -1,0 +1,118 @@
+"""ASAP preprocessing: chunk processing without external tools, and loader
+prefetch equivalence."""
+
+import os
+import pickle
+
+import numpy as np
+
+from piano_a2s_tpu.data.asap import ProcessASAP
+from piano_a2s_tpu.symbolic.humdrum import Kern
+
+CHUNK = """**kern	**kern
+*clefF4	*clefG2
+*k[]	*k[]
+*M4/4	*M4/4
+2C 2E	4cc
+.	4dd
+2G	2ee
+=2	=2
+1D	1ff
+=3	=3
+2E	2gg
+2F	2aa
+=4	=4
+1G	1bb
+=5	=5
+1A	1b
+=6	=6
+*-	*-
+"""
+
+
+def _processor(tmp_path):
+    proc = ProcessASAP.__new__(ProcessASAP)
+    proc.asap_folder = str(tmp_path / "asap")
+    proc.feature_folder = str(tmp_path / "features")
+    proc.sample_rate = 16000
+    proc.max_duration = 12.0
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from piano_a2s_tpu.data.datasets import load_time_signatures
+    proc.labels = LabelsMultiple(extended=True)
+    proc.time_sig_list = load_time_signatures()
+    return proc
+
+
+def test_process_chunk_builds_target_and_wav(tmp_path):
+    proc = _processor(tmp_path)
+    split_dir = os.path.join(proc.feature_folder, "train")
+    for sub in ("wav", "kern", "kern_upper", "kern_lower", "target",
+                "info"):
+        os.makedirs(os.path.join(split_dir, sub), exist_ok=True)
+    sr = 16000
+    audio = 0.1 * np.random.RandomState(0).randn(10 * sr).astype(np.float32)
+    # downbeats: sentinel + 7 downbeats @ 1s spacing, key=0, time 4/4
+    downbeats = [(0.0, "0", "4/4")] + [
+        (float(t), "0", "4/4") for t in range(1, 8)]
+    chunk = Kern(data=CHUNK)
+    ok = proc._process_chunk(chunk, 0, audio, sr, downbeats,
+                             "composer#piece", "perf1", split_dir, "train")
+    assert ok
+    target_path = os.path.join(split_dir, "target",
+                               "composer#piece#perf1.0.pkl")
+    assert os.path.exists(target_path)
+    with open(target_path, "rb") as f:
+        target = pickle.load(f)
+    assert len(target) == 5
+    assert all(m[1] == "4/4" and m[0] == 0 for m in target)
+    wav_path = os.path.join(split_dir, "wav", "composer#piece#perf1.0.wav")
+    assert os.path.exists(wav_path)
+    from piano_a2s_tpu.utils.audio import read_wav
+    data, rate = read_wav(wav_path)
+    assert rate == sr and 4 * sr <= len(data) <= 12 * sr
+
+    # spectrogram generation picks up the wav
+    n = proc.prepare_spectrograms()
+    assert n == 1
+    spec = np.load(os.path.join(split_dir, "spectrogram",
+                                "composer#piece#perf1.0.npy"))
+    assert spec.shape[1] == 480
+
+
+def test_process_chunk_rejects_short_audio(tmp_path):
+    proc = _processor(tmp_path)
+    split_dir = os.path.join(proc.feature_folder, "train")
+    for sub in ("wav", "kern", "kern_upper", "kern_lower", "target"):
+        os.makedirs(os.path.join(split_dir, sub), exist_ok=True)
+    sr = 16000
+    audio = np.zeros(8 * sr, np.float32)
+    downbeats = [(0.0, "0", "4/4")] + [
+        (0.2 * t, "0", "4/4") for t in range(1, 8)]  # 1 s window < 4 s min
+    ok = proc._process_chunk(Kern(data=CHUNK), 0, audio, sr, downbeats,
+                             "c#p", "perf", split_dir, "train")
+    assert not ok
+
+
+def test_dataloader_prefetch_order_identical(tmp_path):
+    from piano_a2s_tpu.data.datasets import DataLoader
+
+    class Dummy:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"spectrogram": np.full((1, 2, 2), i, np.float32),
+                    "time_sig": np.zeros(2, np.int32),
+                    "key": np.zeros(2, np.int32),
+                    "upper": np.zeros((2, 3), np.int32),
+                    "upper_lengths": np.ones(2, np.int32),
+                    "lower": np.zeros((2, 3), np.int32),
+                    "lower_lengths": np.ones(2, np.int32),
+                    "name": f"s{i}", "version": 0}
+
+    a = [b["names"] for b in DataLoader(Dummy(), 3, shuffle=True, seed=5,
+                                        prefetch=0)]
+    b = [b["names"] for b in DataLoader(Dummy(), 3, shuffle=True, seed=5,
+                                        prefetch=2)]
+    assert a == b
+    assert len(a) == 4 and len(a[-1]) == 3  # final batch padded
