@@ -339,12 +339,62 @@ def note_decoder_dual_infer(dual_params, cfg: ModelConfig, enc, enc_proj2,
     t < its max_steps and not every batch item emitted EOS; buffers stay
     zero past its stop. The loop runs to the LATEST staff stop — on real
     data ~max(len_up, len_low) sequential steps instead of 398+189.
+
+    The step is latency-bound (every op waits on the previous), so the
+    fast path minimizes dispatched ops: (1) the attention query projection
+    rides along in the recurrent GRU matmul (h @ [W_hh | W_q]); (2) the
+    token-side input projection is folded into the embedding table
+    (emb @ W_ih_tok precomputed), turning embed+matmul into one gather.
+    Both are exact rewrites (column-independent matmuls).
     """
     B = enc.shape[0]
     t_up, t_low = cfg.max_length
     T = max(t_up, t_low)
     caps = jnp.array([t_up, t_low], jnp.int32)
-    sos2 = _dual_embed(dual_params, jnp.full((2, B), cfg.sos, jnp.int32))
+    E = cfg.note_emb_size
+
+    gru2 = dual_params["gru"]
+    attn2 = dual_params["attn"]
+    # (2, H2, 3H2 + H) fused recurrent + query weights.
+    w_hq2 = jnp.concatenate([gru2["w_hh"], attn2["w_query"]], axis=-1)
+    # Token-side input projection folded into the embedding table.
+    emb_proj2 = jnp.einsum("sve,sek->svk", dual_params["emb"]["emb"],
+                           gru2["w_ih"][:, :E, :])
+    w_ih_ctx2 = gru2["w_ih"][:, E:, :]
+    n_gates = gru2["w_hh"].shape[-1]
+
+    def fast_step(h2, tokp2):
+        hq = jnp.einsum("sbh,shk->sbk", h2, w_hq2)
+        h_proj2 = hq[..., :n_gates] + gru2["b_hh"][:, None]
+        q2 = hq[..., n_gates:]
+        energy = jnp.tanh(enc_proj2 + q2[:, :, None, :])
+        scores = jnp.einsum("sbth,sh->sbt", energy, attn2["v"])
+        weights = jax.nn.softmax(
+            scores.astype(jnp.promote_types(scores.dtype, jnp.float32)),
+            axis=-1).astype(enc.dtype)
+        ctx2 = jnp.einsum("sbt,bth->sbh", weights, enc)
+        x_proj2 = (tokp2 + jnp.einsum("sbh,shk->sbk", ctx2, w_ih_ctx2)
+                   + gru2["b_ih"][:, None])
+        ir, iz, inn = jnp.split(x_proj2, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj2, 3, axis=-1)
+        r = jax.nn.sigmoid(ir + hr)
+        z = jax.nn.sigmoid(iz + hz)
+        n = jnp.tanh(inn + r * hn)
+        h2_new = (1.0 - z) * n + z * h2
+        out = jnp.einsum("sbh,shv->sbv",
+                         jnp.concatenate([h2_new, ctx2], axis=-1),
+                         dual_params["out"]["w"]) + \
+            dual_params["out"]["b"][:, None]
+        logp2 = jax.nn.log_softmax(
+            out.astype(jnp.promote_types(out.dtype, jnp.float32)), axis=-1)
+        pred2 = jnp.argmax(logp2, axis=-1).astype(jnp.int32)
+        return h2_new, logp2, pred2
+
+    def tok_proj(ids2):
+        return jax.vmap(lambda tbl, ids: jnp.take(tbl, ids, axis=0))(
+            emb_proj2, ids2)
+
+    sos2 = tok_proj(jnp.full((2, B), cfg.sos, jnp.int32))
     logps0 = jnp.zeros((T, 2, B, cfg.vocab_size),
                        jnp.promote_types(enc.dtype, jnp.float32))
     preds0 = jnp.zeros((T, 2, B), jnp.int32)
@@ -364,9 +414,7 @@ def note_decoder_dual_infer(dual_params, cfg: ModelConfig, enc, enc_proj2,
     def body(s):
         t, h2, tok2, done, lengths, logps, preds = s
         act = active(t, done)  # (2,) executed-this-step per staff
-        keys = jnp.zeros((2, 2), jnp.uint32)  # dropout off at inference
-        h2_new, logp2, pred2 = _dual_step(dual_params, cfg, enc, enc_proj2,
-                                          h2, tok2, keys, False)
+        h2_new, logp2, pred2 = fast_step(h2, tok2)
         h2 = jnp.where(act[:, None, None], h2_new, h2)
         write_logp = jnp.where(act[:, None, None], logp2, 0.0)
         write_pred = jnp.where(act[:, None], pred2, 0)
@@ -375,7 +423,7 @@ def note_decoder_dual_infer(dual_params, cfg: ModelConfig, enc, enc_proj2,
         is_eos = (pred2 == cfg.eos) & act[:, None]
         lengths = jnp.where(is_eos, t + 1, lengths)
         done = done | is_eos
-        tok2_new = _dual_embed(dual_params, pred2)
+        tok2_new = tok_proj(pred2)
         tok2 = jnp.where(act[:, None, None], tok2_new, tok2)
         return (t + 1, h2, tok2, done, lengths, logps, preds)
 

@@ -221,15 +221,23 @@ class Trainer:
             chunk_name = parts[1] if len(parts) > 1 else id_
             soundfont = parts[2] if len(parts) > 2 else ""
             style = "classical" if chunk_name[:1].islower() else "pop"
-            info_path = os.path.join(self.exp.feature_folder, split,
-                                     str(version), "info",
+            # ASAP features have no version subdirectory, and finetune's
+            # valid split IS the test split (reference: finetune.py:261-263;
+            # its records point at nonexistent 'asap~'-prefixed targets — a
+            # bug we fix rather than reproduce).
+            if version == "asap":
+                version_dir, feat_split = "", "test"
+            else:
+                version_dir, feat_split = str(version), split
+            info_path = os.path.join(self.exp.feature_folder, feat_split,
+                                     version_dir, "info",
                                      f"{chunk_name}.json")
             composer = "unknown"
             if os.path.exists(info_path):
                 with open(info_path) as f:
                     composer = json.load(f).get("composer", "unknown")
-            target_path = os.path.join(self.exp.feature_folder, split,
-                                       str(version), "target",
+            target_path = os.path.join(self.exp.feature_folder, feat_split,
+                                       version_dir, "target",
                                        f"{chunk_name}.pkl")
             result = {"style": style, "soundfont": soundfont,
                       "composer": composer, "target_path": target_path,
