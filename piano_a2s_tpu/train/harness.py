@@ -46,6 +46,12 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self.train_step, self.eval_step = make_jitted_steps(
             self.optimizer, self.cfg, mesh=self.mesh)
+        # Length-bucketed train steps: the decode scan length is static, so
+        # batches whose longest target is far below the 398/189 caps run a
+        # shorter compiled variant (loss/gradient-exact: positions past the
+        # batch max are all <pad>). 0 disables bucketing.
+        self.bucket_tokens = int(exp.extras.get("bucket_tokens", 64))
+        self._bucket_steps = {}
 
         self.scheduler = NewBobScheduler(
             initial_value=exp.lr, annealing_factor=exp.annealing_factor,
@@ -108,6 +114,36 @@ class Trainer:
         self.restore(path)
         return True
 
+    # ------------------------------------------------------------ bucketing
+
+    def _bucketed(self, batch):
+        """Pick a compiled train step whose decode-scan length covers this
+        batch's longest target (rounded up to bucket_tokens), and slice the
+        target arrays accordingly. Exact: sliced-away positions are <pad>."""
+        if self.bucket_tokens <= 0:
+            return batch, self.train_step
+        q = self.bucket_tokens
+        t_up, t_low = self.cfg.max_length
+
+        def bucket(lengths, cap):
+            need = int(np.max(lengths)) + 1  # + EOS position
+            return min(-(-need // q) * q, cap)
+
+        bu = bucket(batch["upper_lengths"], t_up)
+        bl = bucket(batch["lower_lengths"], t_low)
+        if (bu, bl) == (t_up, t_low):
+            return batch, self.train_step
+        key = (bu, bl)
+        if key not in self._bucket_steps:
+            import dataclasses
+            cfg_b = dataclasses.replace(self.cfg, max_length=(bu, bl))
+            self._bucket_steps[key] = make_jitted_steps(
+                self.optimizer, cfg_b, mesh=self.mesh)[0]
+        batch = dict(batch)
+        batch["upper"] = batch["upper"][:, :, :bu]
+        batch["lower"] = batch["lower"][:, :, :bl]
+        return batch, self._bucket_steps[key]
+
     # ------------------------------------------------------------------ fit
 
     def fit(self, train_loader, valid_loader,
@@ -121,10 +157,11 @@ class Trainer:
             losses, comps_hist = [], []
             for batch in train_loader:
                 self.rng, step_key = jax.random.split(self.rng)
+                batch, step = self._bucketed(batch)
                 dev = self._device_batch(batch)
                 self.params, self.opt_state, self.state, out = \
-                    self.train_step(self.params, self.opt_state, self.state,
-                                    dev, step_key, tf)
+                    step(self.params, self.opt_state, self.state,
+                         dev, step_key, tf)
                 self.global_step += 1
                 losses.append(float(jax.device_get(out.loss)))
                 comps_hist.append(
