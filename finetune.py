@@ -36,8 +36,9 @@ def main(argv=None):
     pretrained_save = os.path.join(exp.pretrained_output_folder, "save")
     if not trainer.checkpointer.latest_path() and \
             os.path.isdir(pretrained_save):
-        trainer.checkpointer.import_from(pretrained_save,
-                                         reset_meta={"WER": 100})
+        trainer.checkpointer.import_from(
+            pretrained_save, reset_meta={"WER": 100},
+            reset_host_state={"epoch": 0, "global_step": 0})
 
     train_ds = ASAPDataset(exp.feature_folder, "train",
                            max_frame_num=exp.max_frame_num,

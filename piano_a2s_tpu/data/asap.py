@@ -227,14 +227,9 @@ class ProcessASAP:
         if lower_seq is None or upper_seq is None:
             return False
 
-        def bars(seq: str) -> List[str]:
-            if seq.startswith("=\n"):
-                seq = seq[2:]
-            if seq.endswith("\n="):
-                seq = seq[:-2]
-            return seq.split("\n=\n")
-
-        lower_bars, upper_bars = bars(lower_seq), bars(upper_seq)
+        from ..symbolic.export import split_sequence_bars
+        lower_bars = split_sequence_bars(lower_seq)
+        upper_bars = split_sequence_bars(upper_seq)
         if len(lower_bars) < 5 or len(upper_bars) < 5:
             return False
         target = []

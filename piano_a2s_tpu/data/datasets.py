@@ -238,8 +238,9 @@ class DataLoader:
             try:
                 for batch in self._batches():
                     q.put(batch)
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # re-raised in the consumer
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -247,5 +248,8 @@ class DataLoader:
             batch = q.get()
             if batch is sentinel:
                 break
+            if isinstance(batch, BaseException):
+                thread.join()
+                raise batch
             yield batch
         thread.join()

@@ -99,12 +99,16 @@ def measure_signatures(kern_text: str
                        ) -> List[Tuple[Optional[int], Optional[str]]]:
     """Per-measure (key_fifths, time_sig) tracked from the kern text —
     replaces the reference's music21 measure walk (render.py:215-218).
-    Entries are None until the first signature appears."""
+    Entries are None until the first signature appears.
+
+    A measure's signatures are the values in effect at its first CONTENT
+    line: interpretation lines between a barline and the following content
+    (e.g. '=2' then '*M3/4') belong to the NEW measure."""
     key: Optional[int] = None
     time: Optional[str] = None
     sigs: List[Tuple[Optional[int], Optional[str]]] = []
-    in_measure = False
-    pending = True  # signatures before the first barline
+    measure_open = True   # a measure awaiting its first content line
+    measure_finalized = False
     for line in kern_text.splitlines():
         m = _KEYSIG_RE.search(line)
         if m:
@@ -116,16 +120,16 @@ def measure_signatures(kern_text: str
         if m:
             time = f"{m.group(1)}/{m.group(2)}"
         if _BARLINE_RE.match(line):
-            if in_measure or pending:
+            if measure_open and not measure_finalized:
+                # previous measure had no content; close it with current sigs
                 sigs.append((key, time))
-            in_measure = True
-            pending = False
+            measure_open = True
+            measure_finalized = False
             continue
         if not line.startswith(("*", "!", "=")) and line.strip():
-            if not in_measure and pending:
-                in_measure = True
-                pending = False
+            if measure_open and not measure_finalized:
                 sigs.append((key, time))
+                measure_finalized = True
     return sigs
 
 
@@ -177,7 +181,6 @@ def split_single_score(score_path: str, feature_folder: str,
     written = 0
     for j in range(n):
         names = {}
-        ok = True
         for kern_chunk, sub in zip((chunk_lists[0][j], chunk_lists[1][j],
                                     chunk_lists[2][j]),
                                    ("kern_lower", "kern_upper", "kern")):
@@ -186,8 +189,6 @@ def split_single_score(score_path: str, feature_folder: str,
             with open(path, "w", encoding="iso-8859-1") as f:
                 f.write(fixed)
             names[sub] = path
-        if not ok:
-            continue
         written += _build_chunk_target(
             names, f"{score_name}.{j}", output_dir, labels, time_sig_list,
             split, chunk_size, rng)
@@ -259,14 +260,9 @@ def _build_chunk_target(paths: Dict[str, str], chunk_id: str,
     if lower_seq is None or upper_seq is None:
         return 0
 
-    def strip_bars(seq: str) -> List[str]:
-        if seq.startswith("=\n"):
-            seq = seq[2:]
-        if seq.endswith("\n="):
-            seq = seq[:-2]
-        return seq.split("\n=\n")
-
-    lower_bars, upper_bars = strip_bars(lower_seq), strip_bars(upper_seq)
+    from ..symbolic.export import split_sequence_bars
+    lower_bars = split_sequence_bars(lower_seq)
+    upper_bars = split_sequence_bars(upper_seq)
     if len(lower_bars) < chunk_size or len(upper_bars) < chunk_size:
         return 0
     target = []
@@ -557,8 +553,7 @@ def render_all_midi(versions: Sequence[int], feature_folder: str,
             for midi_file in sorted(os.listdir(midi_dir)):
                 fonts = (TRAIN_SOUNDFONTS if split == "train"
                          else TEST_SOUNDFONTS)
-                soundfont = fonts[rng.randint(len(fonts))] \
-                    if split == "train" else fonts[rng.randint(len(fonts))]
+                soundfont = fonts[rng.randint(len(fonts))]
                 wav_path = os.path.join(
                     folder, "wav",
                     midi_file[:-4] + f"~{soundfont[:-4]}.wav")

@@ -31,6 +31,17 @@ def _dedupe_chords(line: str) -> str:
     return "\t".join(cols)
 
 
+def split_sequence_bars(seq: str) -> List[str]:
+    """Split a flattened kern sequence (from Kern.tosequence) into per-bar
+    texts, stripping the leading/trailing barlines (the shared form of the
+    reference's inline strip logic, render.py:207-211 / asap.py:182-186)."""
+    if seq.startswith("=\n"):
+        seq = seq[2:]
+    if seq.endswith("\n="):
+        seq = seq[:-2]
+    return seq.split("\n=\n")
+
+
 def tokens_to_kern(measures: Sequence[Sequence[int]],
                    labels: Optional[LabelsMultiple] = None) -> str:
     """Per-measure token id lists -> flattened kern text with '=' barlines."""

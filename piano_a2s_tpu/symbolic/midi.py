@@ -36,13 +36,15 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 def _events_for_part(part: Part) -> List[Tuple[int, int, int]]:
     """(onset_ticks, duration_ticks, midi) with ties merged."""
     events: List[List[int]] = []
+    # Ties are keyed per (voice index, pitch) so a same-pitch note in the
+    # other voice never extends a foreign tie.
     active: dict = {}
     measure_start = Fraction(0)
     for measure in part.measures:
         num, den = measure.time_sig
         measure_len = Fraction(num, den)
         voice_end = measure_start
-        for voice in measure.voices:
+        for v_idx, voice in enumerate(measure.voices):
             t = measure_start
             for chord in voice:
                 for note in chord.notes:
@@ -50,18 +52,19 @@ def _events_for_part(part: Part) -> List[Tuple[int, int, int]]:
                         continue
                     dur_q = note.duration * 4
                     onset_q = t * 4
+                    tie_key = (v_idx, note.midi)
                     if (note.tie_continue or note.tie_stop) \
-                            and note.midi in active:
-                        active[note.midi][1] += int(
+                            and tie_key in active:
+                        active[tie_key][1] += int(
                             dur_q * TICKS_PER_QUARTER)
                         if note.tie_stop:
-                            del active[note.midi]
+                            del active[tie_key]
                         continue
                     ev = [int(onset_q * TICKS_PER_QUARTER),
                           int(dur_q * TICKS_PER_QUARTER), note.midi]
                     events.append(ev)
                     if note.tie_start or note.tie_continue:
-                        active[note.midi] = ev
+                        active[tie_key] = ev
                 t += chord.duration
             voice_end = max(voice_end, t)
         measure_start += max(measure_len, voice_end - measure_start)

@@ -200,13 +200,16 @@ def repair_ties(part: Part) -> Part:
     This handles ties dangling across 5-bar chunk boundaries, the case
     humextra `tiefix` exists for (reference invokes it at humdrum.py:857).
     """
+    # Chains are keyed per (voice index, pitch): ties connect consecutive
+    # same-pitch notes within a voice, never across voices.
     by_pitch: dict = {}
     for m in part.measures:
-        for voice in m.voices:
+        for v_idx, voice in enumerate(m.voices):
             for chord in voice:
                 for note in chord.notes:
                     if not note.is_rest:
-                        by_pitch.setdefault(note.midi, []).append(note)
+                        by_pitch.setdefault((v_idx, note.midi),
+                                            []).append(note)
     for notes in by_pitch.values():
         open_tie = False
         for j, n in enumerate(notes):

@@ -114,9 +114,14 @@ class Checkpointer:
     # -- warm start ---------------------------------------------------------
 
     def import_from(self, other_dir: str,
-                    reset_meta: Optional[Dict[str, Any]] = None) -> None:
+                    reset_meta: Optional[Dict[str, Any]] = None,
+                    reset_host_state: Optional[Dict[str, Any]] = None
+                    ) -> None:
         """Copy checkpoints from another save dir (finetune warm-start),
-        optionally overwriting metric values (e.g. WER=100)."""
+        optionally overwriting metric values (e.g. WER=100) and host state
+        (e.g. epoch=0 — the reference's finetune drops the epoch counter
+        from its recoverables, finetune.yaml vs pretrain.yaml:116, so
+        finetuning restarts epoch counting)."""
         other = Checkpointer(other_dir)
         for src in other._ckpt_dirs():
             dst = os.path.join(self.dir, os.path.basename(src))
@@ -128,3 +133,10 @@ class Checkpointer:
                 meta.update(reset_meta)
                 with open(os.path.join(dst, "meta.json"), "w") as f:
                     json.dump(meta, f, indent=2)
+            if reset_host_state:
+                hs_path = os.path.join(dst, "host_state.json")
+                with open(hs_path) as f:
+                    host_state = json.load(f)
+                host_state.update(reset_host_state)
+                with open(hs_path, "w") as f:
+                    json.dump(host_state, f, indent=2)

@@ -76,6 +76,13 @@ class Trainer:
     def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         dev = {k: v for k, v in batch.items()
                if k not in ("names", "versions", "n_real")}
+        # Zero-weight the final batch's padding duplicates so they add
+        # nothing to losses/gradients (shapes stay static & mesh-divisible).
+        b = len(batch["names"])
+        n_real = int(batch.get("n_real", b))
+        weights = np.zeros(b, np.float32)
+        weights[:n_real] = 1.0
+        dev["sample_weight"] = weights
         if self.mesh is not None:
             dev = put_batch(dev, self.mesh)
         return dev
@@ -174,7 +181,7 @@ class Trainer:
                 "teacher_forcing_ratio": tf,
             }
 
-            stage_stats, _ = self._eval_stage(valid_loader, "valid", epoch)
+            stage_stats = self._eval_stage(valid_loader, "valid", epoch)
             old_lr, new_lr = self.scheduler(stage_stats["WER"])
             self.opt_state = set_learning_rate(self.opt_state, new_lr)
             self.logger.log_stats(
@@ -190,7 +197,7 @@ class Trainer:
         path = self.checkpointer.best_path(min_key)
         if path is not None:
             self.restore(path)
-        stage_stats, _ = self._eval_stage(test_loader, "test", epoch=None)
+        stage_stats = self._eval_stage(test_loader, "test", epoch=None)
         self.logger.log_stats(stats_meta={"stage": "test"},
                               test_stats=stage_stats)
         return stage_stats
@@ -199,8 +206,7 @@ class Trainer:
 
     def _eval_stage(self, loader, split: str, epoch):
         """Free-running decode over the loader; WER/F1; result JSONs
-        (reference: pretrain.py:95-214)."""
-        records: Dict[str, Dict[str, Any]] = {}
+        (reference: pretrain.py:95-214). Returns the stage stats dict."""
         upper_pred, upper_tgt = {}, {}
         lower_pred, lower_tgt = {}, {}
         key_pred, key_tgt = {}, {}
@@ -285,8 +291,7 @@ class Trainer:
                       "time_f1": time_f1_d[id_]}
             with open(os.path.join(results_dir, f"{id_}.json"), "w") as f:
                 json.dump(result, f, indent=2)
-        records = {"upper_pred": upper_pred, "upper_tgt": upper_tgt}
-        return stage_stats, records
+        return stage_stats
 
 
 def _load_time_sig_list():

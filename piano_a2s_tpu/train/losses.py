@@ -10,51 +10,70 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _weight_mask(mask: jnp.ndarray, sample_weight) -> jnp.ndarray:
+    """Apply optional per-sample (leading-axis) weights to a mask."""
+    if sample_weight is None:
+        return mask
+    w = jnp.asarray(sample_weight, mask.dtype)
+    return mask * w.reshape(w.shape + (1,) * (mask.ndim - 1))
+
+
 def nll(log_probs: jnp.ndarray, targets: jnp.ndarray,
-        ignore_index: int | None = None) -> jnp.ndarray:
+        ignore_index: int | None = None,
+        sample_weight=None) -> jnp.ndarray:
     """Negative log likelihood, mean over non-ignored targets.
 
-    log_probs: (..., C); targets: (...) int.
+    log_probs: (..., C); targets: (...) int. sample_weight (B,) weights
+    whole batch items (0 excludes padding duplicates from the mean).
     """
     tgt = targets.astype(jnp.int32)
     picked = jnp.take_along_axis(log_probs, tgt[..., None],
                                  axis=-1)[..., 0]
     if ignore_index is None:
-        return -jnp.mean(picked)
-    mask = (tgt != ignore_index).astype(log_probs.dtype)
+        mask = jnp.ones_like(picked)
+    else:
+        mask = (tgt != ignore_index).astype(log_probs.dtype)
+    mask = _weight_mask(mask, sample_weight)
     total = jnp.sum(mask)
     return -jnp.sum(picked * mask) / jnp.maximum(total, 1.0)
 
 
-def transcription_loss(outputs, batch, pad_index: int = 147):
+def transcription_loss(outputs, batch, pad_index: int = 147,
+                       sample_weight=None):
     """Total loss = time + key + upper + lower NLL (reference:
     pretrain.py:69-88). Returns (loss, components dict)."""
     ts_logp, key_logp, up_logp, low_logp = outputs[:4]
-    time_loss = nll(ts_logp, batch["time_sig"])
-    key_loss = nll(key_logp, batch["key"])
-    upper_loss = nll(up_logp, batch["upper"], ignore_index=pad_index)
-    lower_loss = nll(low_logp, batch["lower"], ignore_index=pad_index)
+    w = sample_weight
+    time_loss = nll(ts_logp, batch["time_sig"], sample_weight=w)
+    key_loss = nll(key_logp, batch["key"], sample_weight=w)
+    upper_loss = nll(up_logp, batch["upper"], ignore_index=pad_index,
+                     sample_weight=w)
+    lower_loss = nll(low_logp, batch["lower"], ignore_index=pad_index,
+                     sample_weight=w)
     loss = time_loss + key_loss + upper_loss + lower_loss
     return loss, {"time_loss": time_loss, "key_loss": key_loss,
                   "upper_loss": upper_loss, "lower_loss": lower_loss}
 
 
 def _masked_mean_neg(picked: jnp.ndarray, targets: jnp.ndarray,
-                     pad_index: int) -> jnp.ndarray:
+                     pad_index: int, sample_weight=None) -> jnp.ndarray:
     mask = (targets.astype(jnp.int32) != pad_index).astype(picked.dtype)
+    mask = _weight_mask(mask, sample_weight)
     total = jnp.maximum(jnp.sum(mask), 1.0)
     return -jnp.sum(picked * mask) / total
 
 
-def transcription_loss_fused(outputs, batch, pad_index: int = 147):
+def transcription_loss_fused(outputs, batch, pad_index: int = 147,
+                             sample_weight=None):
     """Same loss from gt-picked log-probs (forward(emit_full=False)):
     upper/lower outputs are (B, bars, T) log-probs AT the target tokens,
     so the (B, bars, T, V) distributions never exist in HBM."""
     ts_logp, key_logp, up_picked, low_picked = outputs[:4]
-    time_loss = nll(ts_logp, batch["time_sig"])
-    key_loss = nll(key_logp, batch["key"])
-    upper_loss = _masked_mean_neg(up_picked, batch["upper"], pad_index)
-    lower_loss = _masked_mean_neg(low_picked, batch["lower"], pad_index)
+    w = sample_weight
+    time_loss = nll(ts_logp, batch["time_sig"], sample_weight=w)
+    key_loss = nll(key_logp, batch["key"], sample_weight=w)
+    upper_loss = _masked_mean_neg(up_picked, batch["upper"], pad_index, w)
+    lower_loss = _masked_mean_neg(low_picked, batch["lower"], pad_index, w)
     loss = time_loss + key_loss + upper_loss + lower_loss
     return loss, {"time_loss": time_loss, "key_loss": key_loss,
                   "upper_loss": upper_loss, "lower_loss": lower_loss}

@@ -63,7 +63,9 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
             p, state, batch["spectrogram"], rng, cfg=cfg, train=True,
             ground_truth=_ground_truth(batch), tf_ratio=tf_ratio,
             emit_full=False)
-        loss, comps = transcription_loss_fused(outs, batch, cfg.pad)
+        loss, comps = transcription_loss_fused(
+            outs, batch, cfg.pad,
+            sample_weight=batch.get("sample_weight"))
         return loss, (comps, new_state)
 
     (loss, (comps, new_state)), grads = jax.value_and_grad(
@@ -94,7 +96,8 @@ def eval_step(params, state, batch, cfg: ModelConfig):
                       jax.random.PRNGKey(0), cfg=cfg, train=False,
                       ground_truth=None, tf_ratio=0.0)
     ts_logp, key_logp, up_logp, low_logp, aux = outs
-    loss, comps = transcription_loss(outs, batch, cfg.pad)
+    loss, comps = transcription_loss(
+        outs, batch, cfg.pad, sample_weight=batch.get("sample_weight"))
     preds = {
         "time_sig": jnp.argmax(ts_logp, axis=-1),
         "key": jnp.argmax(key_logp, axis=-1),
