@@ -26,14 +26,25 @@ class Transcriber:
 
     def __init__(self, params, state, cfg: ModelConfig = ModelConfig(),
                  vqt_cfg: VQTConfig = VQTConfig(),
-                 max_frame_num: int = 1201, decode_dtype=None):
-        self.params = params
-        self.state = state
+                 max_frame_num: int = 1201, decode_dtype=None,
+                 use_mesh: bool = False):
+        """use_mesh=True shards inference batches over all devices (data
+        parallelism for serving); params are replicated."""
         self.cfg = cfg
         self.vqt_cfg = vqt_cfg
         self.max_frame_num = max_frame_num
         self.kernels = tuple(map(jnp.asarray, build_kernels(vqt_cfg)))
         self.time_sig_list = load_time_signatures()
+        self.mesh = None
+        self._batch_sharding = None
+        if use_mesh:
+            from .parallel import make_mesh, put_replicated, shard_batch
+            self.mesh = make_mesh()
+            params = put_replicated(params, self.mesh)
+            state = put_replicated(state, self.mesh)
+            self._batch_sharding = shard_batch(self.mesh)
+        self.params = params
+        self.state = state
 
         def infer(params, state, spec_batch):
             (ts, key, up, low, aux), _ = forward(
@@ -69,9 +80,14 @@ class Transcriber:
         specs = np.stack([self.spectrogram(a) for a in audio_batch])
         n = len(audio_batch)
         padded = max(1, 1 << (n - 1).bit_length())
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            padded = max(padded, n_dev)  # batch must divide the mesh
         if padded != n:
             specs = np.concatenate(
                 [specs, np.repeat(specs[-1:], padded - n, axis=0)])
+        if self._batch_sharding is not None:
+            specs = jax.device_put(specs, self._batch_sharding)
         ts, key, up, low, up_len, low_len = jax.device_get(
             self._infer(self.params, self.state, specs))
         out = []

@@ -1,0 +1,35 @@
+"""Mesh-sharded (multi-chip) serving path of the Transcriber on the
+virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from piano_a2s_tpu.infer import Transcriber
+from piano_a2s_tpu.models import ModelConfig, init_params, init_state
+from piano_a2s_tpu.ops.vqt import VQTConfig
+
+CFG = ModelConfig(freq_bins=12, conv_feature_size=16, hidden_size=16,
+                  max_bars=2, max_length=(8, 6), note_emb_size=8,
+                  staff_emb_size=8)
+VQT = VQTConfig(bins_per_octave=3, n_octaves=4, window_size=1024,
+                sample_rate=16000, hop_length=160)
+
+
+def test_mesh_transcriber_matches_single_device():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    for d in ("upper", "lower"):
+        b = np.array(params["decoder"][d]["out"]["b"])
+        b[CFG.eos] += 5.0
+        params["decoder"][d]["out"]["b"] = jnp.asarray(b)
+    state = init_state(CFG)
+    single = Transcriber(params, state, CFG, VQT, max_frame_num=101)
+    meshy = Transcriber(params, state, CFG, VQT, max_frame_num=101,
+                        use_mesh=True)
+    assert meshy.mesh.devices.size == 8
+    rng = np.random.RandomState(0)
+    clips = [0.1 * rng.randn(12000).astype(np.float32) for _ in range(3)]
+    a = single.transcribe_batch(clips)
+    b = meshy.transcribe_batch(clips)  # padded to 8 across the mesh
+    assert a == b
