@@ -43,14 +43,17 @@ def main(argv=None):
             errors = get_mv2h_from_test(folder, args.split, exp.mv2h_bin)
             print(f"{folder}: MV2H export errors: {len(errors)}")
             if folder == exp.output_folder and "asap" in exp.feature_folder:
-                m, four, n = summarize_asap_mv2h(folder)
+                m, four, n = summarize_asap_mv2h(folder, split=args.split)
             else:
-                m, four, n = summarize_syn_mv2h(folder)
+                m, four, n = summarize_syn_mv2h(folder, split=args.split)
             print(f"{folder}: MV2H over {n} clips: "
                   f"{ {k: round(v, 4) for k, v in m.items()} }, "
                   f"4-way mean {four:.4f}")
         elif not have_java:
             print("java not available: skipping MV2H (WER/F1 only)")
+        else:
+            print(f"MV2H tool not found (mv2h_bin={exp.mv2h_bin!r}): "
+                  "skipping MV2H (WER/F1 only)")
     return 0
 
 

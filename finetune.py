@@ -32,13 +32,20 @@ def main(argv=None):
     exp = load_experiment(args.hparams, args.overrides)
     os.makedirs(exp.output_folder, exist_ok=True)
 
+    if args.data_parallel:
+        import jax
+        exp.batch_size = exp.batch_size * jax.device_count()
+
     trainer = Trainer(exp, use_mesh=args.data_parallel)
     pretrained_save = os.path.join(exp.pretrained_output_folder, "save")
-    if not trainer.checkpointer.latest_path() and \
-            os.path.isdir(pretrained_save):
-        trainer.checkpointer.import_from(
-            pretrained_save, reset_meta={"WER": 100},
-            reset_host_state={"epoch": 0, "global_step": 0})
+    if not trainer.checkpointer.latest_path():
+        if os.path.isdir(pretrained_save):
+            trainer.checkpointer.import_from(
+                pretrained_save, reset_meta={"WER": 100},
+                reset_host_state={"epoch": 0, "global_step": 0})
+        else:
+            print(f"WARNING: no pretrained checkpoints at "
+                  f"{pretrained_save!r} — finetuning from RANDOM weights")
 
     train_ds = ASAPDataset(exp.feature_folder, "train",
                            max_frame_num=exp.max_frame_num,

@@ -399,6 +399,15 @@ def xml_to_midi(versions: Sequence[int], feature_folder: str,
     'epr' uses virtuosoNet via the injected `epr_generate(xml_path,
     composer) -> midi_path` callable."""
     assert midi_syn in ("epr", "score")
+    if midi_syn == "epr" and epr_generate is None:
+        # Fail fast: inside the per-file loop this error would be swallowed
+        # by the skip-and-continue policy and silently drop ~14/15 of data.
+        raise RuntimeError(
+            "midi_syn='epr' requires virtuosoNet: pass epr_generate("
+            "xml_path, composer) -> midi_path, or set midi_syn='score'")
+    if midi_syn == "score" and not have_tool("verovio"):
+        raise RuntimeError("verovio not found on PATH (needed for "
+                           "score-MIDI rendering)")
     from ..symbolic.midi_io import MIDIProcess
     rng = np.random.RandomState(seed)
     if midi_syn == "epr":

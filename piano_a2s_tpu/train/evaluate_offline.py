@@ -100,19 +100,35 @@ def get_mv2h_from_test(output_folder: str, split: str, mv2h_bin: str,
     return errors
 
 
+def _split_ids(results_dir: str, split: Optional[str]):
+    """Clip ids belonging to one evaluation split (filters the shared mv2h
+    folder so multi-split runs don't average together)."""
+    if split is None:
+        return None
+    split_dir = os.path.join(results_dir, "results", split)
+    if not os.path.isdir(split_dir):
+        return None
+    return {f[:-5] for f in os.listdir(split_dir) if f.endswith(".json")}
+
+
 def summarize_syn_mv2h(results_dir: str, composer: str = "all",
-                       soundfont: str = "all", test_split: str = "all"):
+                       soundfont: str = "all", test_split: str = "all",
+                       split: Optional[str] = None):
     """Running-mean MV2H with composer/soundfont/sub-dataset filters
-    (reference: evaluate.py:67-103)."""
+    (reference: evaluate.py:67-103). `split` restricts to the ids of one
+    evaluation split when several have been exported."""
     assert composer in ["all", "score", "Bach", "Mozart", "Chopin"]
     assert soundfont in ["all", "Upright", "Salamander", "YDP"]
     assert test_split in ["all", "musesyn", "humsyn"]
+    ids = _split_ids(results_dir, split)
     mv2h_folder = os.path.join(results_dir, "results", "mv2h")
     metrics = {k: 0.0 for k in MV2H_KEYS}
     n = 0
     for mv2h_file in sorted(os.listdir(mv2h_folder)):
-        id_ = mv2h_file[:-5]
-        v, chunk_id, sf = id_.split("~")[:3]
+        clip_id = mv2h_file[:-10]  # strip '_mv2h.json'
+        if ids is not None and clip_id not in ids:
+            continue
+        v, chunk_id, sf = clip_id.split("~")[:3]
         skip = False
         for i, c in enumerate(["score", "Bach", "Mozart", "Chopin"]):
             if composer == c and int(v) != i:
@@ -135,12 +151,15 @@ def summarize_syn_mv2h(results_dir: str, composer: str = "all",
     return metrics, four_way, n
 
 
-def summarize_asap_mv2h(results_dir: str):
+def summarize_asap_mv2h(results_dir: str, split: Optional[str] = None):
     """(reference: evaluate.py:105-119)"""
+    ids = _split_ids(results_dir, split)
     mv2h_folder = os.path.join(results_dir, "results", "mv2h")
     metrics = {k: 0.0 for k in MV2H_KEYS}
     n = 0
     for mv2h_file in sorted(os.listdir(mv2h_folder)):
+        if ids is not None and mv2h_file[:-10] not in ids:
+            continue
         mv2h = _load_json(os.path.join(mv2h_folder, mv2h_file))
         for k in MV2H_KEYS:
             metrics[k] += (mv2h[k] - metrics[k]) / (n + 1)

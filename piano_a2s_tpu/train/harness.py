@@ -57,6 +57,9 @@ class Trainer:
             initial_value=exp.lr, annealing_factor=exp.annealing_factor,
             improvement_threshold=exp.improvement_threshold,
             patient=exp.patient)
+        # Multi-host: only process 0 writes checkpoints/results/logs
+        # (shared-filesystem safety; all hosts compute identically).
+        self.is_main_process = jax.process_index() == 0
         self.checkpointer = Checkpointer(exp.save_folder)
         self.logger = FileTrainLogger(exp.train_log)
         self.start_epoch = 1
@@ -98,6 +101,8 @@ class Trainer:
                 "global_step": self.global_step}
 
     def save_checkpoint(self, epoch: int, meta: Dict[str, Any]):
+        if not self.is_main_process:
+            return
         self.checkpointer.save_and_keep_only(
             self._trees(), meta, self._host_state(epoch), min_keys=("WER",))
 
@@ -184,10 +189,11 @@ class Trainer:
             stage_stats = self._eval_stage(valid_loader, "valid", epoch)
             old_lr, new_lr = self.scheduler(stage_stats["WER"])
             self.opt_state = set_learning_rate(self.opt_state, new_lr)
-            self.logger.log_stats(
-                stats_meta={"epoch": epoch, "lr": old_lr,
-                            "epoch_time": round(time.time() - t0, 1)},
-                train_stats=self.train_stats, valid_stats=stage_stats)
+            if self.is_main_process:
+                self.logger.log_stats(
+                    stats_meta={"epoch": epoch, "lr": old_lr,
+                                "epoch_time": round(time.time() - t0, 1)},
+                    train_stats=self.train_stats, valid_stats=stage_stats)
             self.save_checkpoint(epoch, {"loss": stage_stats["loss"],
                                          "WER": stage_stats["WER"]})
 
@@ -198,8 +204,9 @@ class Trainer:
         if path is not None:
             self.restore(path)
         stage_stats = self._eval_stage(test_loader, "test", epoch=None)
-        self.logger.log_stats(stats_meta={"stage": "test"},
-                              test_stats=stage_stats)
+        if self.is_main_process:
+            self.logger.log_stats(stats_meta={"stage": "test"},
+                                  test_stats=stage_stats)
         return stage_stats
 
     # ------------------------------------------------------------ eval core
@@ -251,6 +258,8 @@ class Trainer:
         }
 
         # Per-clip result JSONs (reference: pretrain.py:189-214).
+        if not self.is_main_process:
+            return stage_stats
         results_dir = os.path.join(self.exp.output_folder, "results", split)
         os.makedirs(results_dir, exist_ok=True)
         for id_ in upper_pred:

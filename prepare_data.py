@@ -24,7 +24,11 @@ ALL_STAGES = ["convert", "preprocess", "split", "midi", "clean", "render",
 def run_syn(exp, stages, kern_folder, xml_folder):
     from piano_a2s_tpu.data import render as R
     versions = list(range(int(exp.extras.get("train_versions", 10))))
+    if not versions:
+        print("train_versions is 0 — nothing to do")
+        return
     version_groups = [versions[i:i + 2] for i in range(0, len(versions), 2)]
+    pool_size = max(1, min(5, len(version_groups)))
 
     if "convert" in stages:
         print("Converting MuseSyn xml files to kern...")
@@ -36,7 +40,7 @@ def run_syn(exp, stages, kern_folder, xml_folder):
         print("Splitting scores into chunks...")
         work = partial(R.split_datasets, feature_folder=exp.feature_folder,
                        kern_folder=kern_folder, seed=exp.seed)
-        with Pool(processes=min(5, len(version_groups))) as pool:
+        with Pool(processes=pool_size) as pool:
             pool.map(work, version_groups)
     if "midi" in stages:
         print("Converting xml to midi...")
@@ -51,7 +55,7 @@ def run_syn(exp, stages, kern_folder, xml_folder):
         soundfont_folder = exp.extras.get("soundfont_folder", "soundfonts")
         work = partial(R.render_all_midi, feature_folder=exp.feature_folder,
                        soundfont_folder=soundfont_folder, seed=exp.seed)
-        with Pool(processes=min(5, len(version_groups))) as pool:
+        with Pool(processes=pool_size) as pool:
             pool.map(work, version_groups)
     if "spectrograms" in stages:
         print("Preparing spectrograms...")
@@ -59,7 +63,7 @@ def run_syn(exp, stages, kern_folder, xml_folder):
                        feature_folder=exp.feature_folder,
                        sample_rate=exp.sample_rate,
                        max_duration=exp.max_duration)
-        with Pool(processes=min(5, len(version_groups))) as pool:
+        with Pool(processes=pool_size) as pool:
             pool.map(work, version_groups)
 
 
@@ -78,6 +82,9 @@ def main(argv=None):
 
     if args.dataset == "syn":
         stages = args.stages or ALL_STAGES
+        unknown = [s for s in stages if s not in ALL_STAGES]
+        if unknown:
+            parser.error(f"unknown stage(s) {unknown}; valid: {ALL_STAGES}")
         run_syn(exp, stages, args.kern_folder, args.xml_folder)
     else:
         from piano_a2s_tpu.data.asap import ProcessASAP

@@ -42,6 +42,13 @@ def main(argv=None):
     exp = load_experiment(args.hparams, args.overrides)
     os.makedirs(exp.output_folder, exist_ok=True)
 
+    if args.data_parallel:
+        # torchrun semantics: batch_size is PER DEVICE (the reference runs
+        # batch 4 per torchrun process, README.md:119-132); the global
+        # batch scales with the mesh and stays mesh-divisible.
+        import jax
+        exp.batch_size = exp.batch_size * jax.device_count()
+
     import numpy as np
     n_train_versions = int(exp.extras.get("train_versions", 10))
     train_ds = SyntheticTrainDataset(

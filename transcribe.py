@@ -49,9 +49,15 @@ def main(argv=None):
     t0 = time.time()
     results = tr.transcribe_batch(clips)
     dt = time.time() - t0
+    used = set()
     for path, target in zip(args.inputs, results):
         stem = os.path.splitext(os.path.basename(path))[0]
-        prefix = os.path.join(args.out_dir, stem)
+        unique, k = stem, 1
+        while unique in used:  # same basename from different directories
+            unique = f"{stem}.{k}"
+            k += 1
+        used.add(unique)
+        prefix = os.path.join(args.out_dir, unique)
         paths = result_to_files(target, prefix)
         print(f"{path} -> {', '.join(sorted(paths.values()))}")
     print(f"transcribed {len(clips)} clip(s) in {dt:.2f}s "
