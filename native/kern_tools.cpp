@@ -313,23 +313,23 @@ char* kern_transpose(const char* data, const char* interval_str) {
         continue;
       }
       if (col.size() >= 2 && col[0] == '*' && col.back() == ':') {
-        // Tonality marker *G: / *e-: — transpose the tonic letter.
+        // Tonality marker *G: / *e-: — transpose the tonic letter. The
+        // letter case encodes MODE (major/minor): preserve the input's
+        // case, never derive it from the computed octave.
         Pitch p;
         std::string tonic = col.substr(1, col.size() - 2);
-        if (parse_kern_pitch(tonic, &p)) {
+        if (parse_kern_pitch(tonic, &p) && !tonic.empty()) {
           Pitch np = transpose_pitch(p, iv);
-          np.octave = p.octave;  // tonality is octave-less; keep register
-          std::string spelled = pitch_to_kern(np);
-          // Restore single-letter form with original case length 1.
-          if (!tonic.empty() && !spelled.empty()) {
-            char letter = spelled[0];
-            std::string accs = spelled.substr(
-                spelled.find_first_not_of(spelled[0]) == std::string::npos
-                    ? spelled.size()
-                    : spelled.find_first_not_of(spelled[0]));
-            newcols.push_back(std::string("*") + letter + accs + ":");
-            continue;
-          }
+          static const char kUpperL[7] = {'C', 'D', 'E', 'F', 'G', 'A',
+                                          'B'};
+          char letter = kUpperL[np.letter];
+          if (std::islower(static_cast<unsigned char>(tonic[0])))
+            letter = std::tolower(letter);
+          std::string accs;
+          if (np.alter > 0) accs.assign(np.alter, '#');
+          if (np.alter < 0) accs.assign(-np.alter, '-');
+          newcols.push_back(std::string("*") + letter + accs + ":");
+          continue;
         }
         newcols.push_back(col);
         continue;
@@ -465,10 +465,11 @@ char* kern_tiefix(const char* data) {
         if (consumed) {
           open_tie = true;
         } else {
-          if (r.open) strip.insert({r.line, r.col, r.note, '['});
           if (cont) {
             // dangling continue becomes a close: replace _ with ]
-            strip.insert({r.line, r.col, r.note, '_'});
+            strip.insert({r.line, r.col, r.note, '>'});
+          } else if (r.open) {
+            strip.insert({r.line, r.col, r.note, '['});
           }
           open_tie = false;
         }
@@ -502,6 +503,10 @@ char* kern_tiefix(const char* data) {
         if (has(']')) {
           size_t pos = n.find(']');
           if (pos != std::string::npos) n.erase(pos, 1);
+        }
+        if (has('>')) {  // dangling '_' ends the tie instead
+          size_t pos = n.find('_');
+          if (pos != std::string::npos) n[pos] = ']';
         }
         notes[ni] = n;
       }

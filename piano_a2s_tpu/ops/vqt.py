@@ -23,6 +23,7 @@ and scaled by sqrt(length) to match librosa's `scale=True` convention.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from functools import partial
 from typing import Tuple
@@ -65,12 +66,14 @@ def filter_lengths(cfg: VQTConfig) -> np.ndarray:
     return q * cfg.sample_rate / (freqs + cfg.gamma / alpha)
 
 
+@functools.lru_cache(maxsize=8)
 def build_kernels(cfg: VQTConfig = VQTConfig()) -> Tuple[np.ndarray,
                                                          np.ndarray]:
     """(cos, sin) kernel matrices of shape (window_size, n_bins), float32.
 
     Each column is an L1-normalized hann-windowed complex exponential of its
     variable-Q length, centered in the window and scaled by sqrt(length).
+    Cached per config (the offline pipelines call the host VQT per file).
     """
     lengths = filter_lengths(cfg)
     freqs = _frequencies(cfg)

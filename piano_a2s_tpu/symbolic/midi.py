@@ -34,40 +34,35 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def _events_for_part(part: Part) -> List[Tuple[int, int, int]]:
-    """(onset_ticks, duration_ticks, midi) with ties merged."""
+    """(onset_ticks, duration_ticks, midi) with ties merged.
+
+    Tie links are matched by pitch AND exact temporal adjacency (the
+    continuation must start where the open note ends), following ties
+    across measures and voice-count changes without joining unrelated
+    same-pitch notes."""
+    from .score import timed_notes
     events: List[List[int]] = []
-    # Ties are keyed per (voice index, pitch) so a same-pitch note in the
-    # other voice never extends a foreign tie.
-    active: dict = {}
-    measure_start = Fraction(0)
-    for measure in part.measures:
-        num, den = measure.time_sig
-        measure_len = Fraction(num, den)
-        voice_end = measure_start
-        for v_idx, voice in enumerate(measure.voices):
-            t = measure_start
-            for chord in voice:
-                for note in chord.notes:
-                    if note.is_rest:
-                        continue
-                    dur_q = note.duration * 4
-                    onset_q = t * 4
-                    tie_key = (v_idx, note.midi)
-                    if (note.tie_continue or note.tie_stop) \
-                            and tie_key in active:
-                        active[tie_key][1] += int(
-                            dur_q * TICKS_PER_QUARTER)
-                        if note.tie_stop:
-                            del active[tie_key]
-                        continue
-                    ev = [int(onset_q * TICKS_PER_QUARTER),
-                          int(dur_q * TICKS_PER_QUARTER), note.midi]
-                    events.append(ev)
-                    if note.tie_start or note.tie_continue:
-                        active[tie_key] = ev
-                t += chord.duration
-            voice_end = max(voice_end, t)
-        measure_start += max(measure_len, voice_end - measure_start)
+    active: dict = {}  # pitch -> [event, expected_next_onset]
+    for onset, offset, _, note in sorted(timed_notes(part),
+                                         key=lambda x: (x[0], x[2])):
+        if note.is_rest:
+            continue
+        onset_ticks = int(onset * 4 * TICKS_PER_QUARTER)
+        dur_ticks = int((offset - onset) * 4 * TICKS_PER_QUARTER)
+        key = note.midi
+        entry = active.get(key)
+        if (note.tie_continue or note.tie_stop) and entry is not None \
+                and entry[1] == onset:
+            entry[0][1] += dur_ticks
+            if note.tie_stop:
+                del active[key]
+            else:
+                entry[1] = offset
+            continue
+        ev = [onset_ticks, dur_ticks, note.midi]
+        events.append(ev)
+        if note.tie_start or note.tie_continue:
+            active[key] = [ev, offset]
     return [tuple(e) for e in events]
 
 

@@ -53,7 +53,8 @@ class MidiFile:
         return longest * spt
 
     def notes(self) -> List[Tuple[float, float, int, int]]:
-        """(onset_sec, offset_sec, pitch, velocity) pairs."""
+        """(onset_sec, offset_sec, pitch, velocity) pairs; velocity is the
+        note-ON velocity."""
         spt = self.tempo_us() / 1e6 / self.ticks_per_beat
         out = []
         for track in self.tracks:
@@ -63,14 +64,15 @@ class MidiFile:
                 t += ev.delta
                 if ev.kind == "note_on" and len(ev.data) >= 2 \
                         and ev.data[1] > 0:
-                    active.setdefault(ev.data[0], []).append(t)
+                    active.setdefault(ev.data[0], []).append(
+                        (t, ev.data[1]))
                 elif ev.kind in ("note_off", "note_on") \
                         and len(ev.data) >= 2:
                     starts = active.get(ev.data[0])
                     if starts:
-                        start = starts.pop(0)
+                        start, velocity = starts.pop(0)
                         out.append((start * spt, t * spt, ev.data[0],
-                                    ev.data[1]))
+                                    velocity))
         return sorted(out)
 
 

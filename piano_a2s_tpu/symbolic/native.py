@@ -165,10 +165,14 @@ def _py_transpose(data: str, interval: str) -> str:
                 tonic = col[1:-1]
                 p = _parse_pitch(tonic)
                 if p:
-                    nl, no, na = _transpose_pitch(*p, d, c)
-                    spelled = _pitch_str(nl, no, na)
-                    acc = spelled.lstrip(spelled[0])
-                    cols.append("*" + spelled[0] + acc + ":")
+                    nl, _, na = _transpose_pitch(*p, d, c)
+                    # Tonality case encodes MODE (major/minor) — preserve
+                    # the input's case, never derive it from the octave.
+                    letter = _LETTERS[nl]
+                    if tonic[0].islower():
+                        letter = letter.lower()
+                    acc = "#" * na if na > 0 else "-" * (-na)
+                    cols.append("*" + letter + acc + ":")
                     continue
                 cols.append(col)
                 continue
@@ -235,9 +239,6 @@ def _py_extract_spine(data: str, spine: int) -> str:
     return "\n".join(out) + "\n"
 
 
-_NOTE_PITCH = re.compile(r"([a-gA-G])\1*[#\-]*")
-
-
 def _py_tiefix(data: str) -> str:
     lines = data.split("\n")
     parsed = {}
@@ -257,12 +258,13 @@ def _py_tiefix(data: str) -> str:
                 has_close = "]" in n
                 if not (has_open or has_cont or has_close):
                     continue
-                m = _NOTE_PITCH.search(n)
+                m = _PITCH_IN_NOTE.search(n)
                 if not m or "r" in n[:m.start()]:
                     continue
                 chains.setdefault((ci, m.group(0)), []).append(
                     [li, ci, ni, has_open, has_cont, has_close])
     strip = set()
+    convert = set()  # dangling '_' becomes ']' (ends the tie legally)
     for refs in chains.values():
         open_tie = False
         for j, (li, ci, ni, op, cont, close) in enumerate(refs):
@@ -280,10 +282,10 @@ def _py_tiefix(data: str) -> str:
                 if consumed:
                     open_tie = True
                 else:
-                    if op:
-                        strip.add((li, ci, ni, "["))
                     if cont:
-                        strip.add((li, ci, ni, "_"))
+                        convert.add((li, ci, ni))
+                    elif op:
+                        strip.add((li, ci, ni, "["))
                     open_tie = False
     out = []
     for li, line in enumerate(lines):
@@ -297,6 +299,8 @@ def _py_tiefix(data: str) -> str:
                 for flag in "[_]":
                     if (li, ci, ni, flag) in strip:
                         n = n.replace(flag, "", 1)
+                if (li, ci, ni) in convert:
+                    n = n.replace("_", "]", 1)
                 fixed.append(n)
             cols.append(" ".join(fixed))
         out.append("\t".join(cols))

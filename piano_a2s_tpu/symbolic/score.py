@@ -137,95 +137,113 @@ def parse_staff_kern(kern_text: str, keys: List[int],
     per-bar classifications). Malformed tokens are skipped unless strict.
     """
     part = Part(clef=clef)
-    lines = kern_text.splitlines()
-    n_voices = 1
-    cur: Optional[Measure] = None
-    measure_idx = 0
 
-    def new_measure():
-        nonlocal measure_idx
+    # Split into per-measure segments at barlines FIRST, so measures with
+    # no content lines still occupy a slot (empty model-output bars must
+    # not shift later bars' key/time signatures or staff alignment).
+    segments: List[List[str]] = []
+    cur_lines: List[str] = []
+    saw_line = False
+    for raw in kern_text.splitlines():
+        line = raw.rstrip()
+        if line.startswith("="):
+            if saw_line or cur_lines:
+                segments.append(cur_lines)
+            # a barline before any line at all is an opener, not a measure
+            cur_lines = []
+            saw_line = True
+            continue
+        cur_lines.append(line)
+        saw_line = True
+    if any(line.strip() for line in cur_lines):
+        segments.append(cur_lines)  # trailing measure without a barline
+
+    for measure_idx, segment in enumerate(segments):
         k = keys[measure_idx] if measure_idx < len(keys) else 0
         ts = time_sigs[measure_idx] if measure_idx < len(time_sigs) \
             else "4/4"
         num, den = ts.split("/")
-        m = Measure(key_fifths=int(k), time_sig=(int(num), int(den)),
-                    voices=[[] for _ in range(2)])
-        measure_idx += 1
-        return m
-
-    for line in lines:
-        line = line.rstrip()
-        if not line:
-            continue
-        if line.startswith("="):
-            if cur is not None:
-                part.measures.append(cur)
-            cur = None
-            continue
-        if line.startswith("*"):
-            if line.startswith("*^"):
-                n_voices = 2
-            elif line.startswith("*v"):
-                n_voices = 1
-            continue
-        if cur is None:
-            cur = new_measure()
-        cols = line.split("\t")
-        for v, col in enumerate(cols[:2]):
-            if col == "." or col == "":
+        measure = Measure(key_fifths=int(k),
+                          time_sig=(int(num), int(den)),
+                          voices=[[] for _ in range(2)])
+        for line in segment:
+            if not line or line.startswith("*"):
                 continue
-            chord = parse_chord(col)
-            if chord is None:
-                if strict:
-                    raise ValueError(f"malformed kern token: {col!r}")
-                continue
-            cur.voices[v].append(chord)
-    if cur is not None:
-        part.measures.append(cur)
-    for m in part.measures:
-        m.voices = [v for v in m.voices if v]
-        if not m.voices:
-            m.voices = [[]]
-    del n_voices
+            for v, col in enumerate(line.split("\t")[:2]):
+                if col == "." or col == "":
+                    continue
+                chord = parse_chord(col)
+                if chord is None:
+                    if strict:
+                        raise ValueError(
+                            f"malformed kern token: {col!r}")
+                    continue
+                measure.voices[v].append(chord)
+        measure.voices = [v for v in measure.voices if v]
+        if not measure.voices:
+            measure.voices = [[]]
+        part.measures.append(measure)
     return part
+
+
+def timed_notes(part: Part):
+    """All notes of a part with exact onset/offset times (whole-note
+    Fractions): [(onset, offset, voice_idx, note)]. Measure starts advance
+    by the nominal time-signature length (stretched if a voice overflows).
+    """
+    out = []
+    measure_start = Fraction(0)
+    for measure in part.measures:
+        num, den = measure.time_sig
+        measure_len = Fraction(num, den)
+        voice_end = measure_start
+        for v_idx, voice in enumerate(measure.voices):
+            t = measure_start
+            for chord in voice:
+                for note in chord.notes:
+                    out.append((t, t + note.duration, v_idx, note))
+                t += chord.duration
+            voice_end = max(voice_end, t)
+        measure_start += max(measure_len, voice_end - measure_start)
+    return out
 
 
 def repair_ties(part: Part) -> Part:
     """Tie sanity repair (replaces humextra `tiefix` on the export path).
 
-    Per pitch, in time order, a legal tie chain is `[`, `_`*, `]`. Repairs:
-      - `_` / `]` with no open tie at that pitch -> flag stripped
-      - `[` whose next same-pitch note does not continue/close -> stripped
-      - `_` whose next same-pitch note does not continue/close -> becomes `]`
-    This handles ties dangling across 5-bar chunk boundaries, the case
-    humextra `tiefix` exists for (reference invokes it at humdrum.py:857).
+    A legal tie chain is `[`, `_`*, `]` over same-pitch notes that are
+    temporally ADJACENT (each link starts exactly where the previous one
+    ends) — this follows ties across measures and across voice-count
+    changes while never joining unrelated same-pitch notes. Repairs:
+      - `_` / `]` whose onset doesn't continue an open tie -> stripped
+      - `[` with no adjacent same-pitch continuation/close -> stripped
+      - dangling `_` (no continuation) -> becomes `]`
+    This handles ties cut at 5-bar chunk boundaries, the case humextra
+    `tiefix` exists for (reference invokes it at humdrum.py:857).
     """
-    # Chains are keyed per (voice index, pitch): ties connect consecutive
-    # same-pitch notes within a voice, never across voices.
     by_pitch: dict = {}
-    for m in part.measures:
-        for v_idx, voice in enumerate(m.voices):
-            for chord in voice:
-                for note in chord.notes:
-                    if not note.is_rest:
-                        by_pitch.setdefault((v_idx, note.midi),
-                                            []).append(note)
+    for onset, offset, v_idx, note in timed_notes(part):
+        if not note.is_rest:
+            by_pitch.setdefault(note.midi, []).append(
+                (onset, offset, v_idx, note))
     for notes in by_pitch.values():
-        open_tie = False
-        for j, n in enumerate(notes):
-            if (n.tie_continue or n.tie_stop) and not open_tie:
-                n.tie_continue = n.tie_stop = False
-            if n.tie_stop:
-                open_tie = False
-            if n.tie_start or n.tie_continue:
-                nxt = notes[j + 1] if j + 1 < len(notes) else None
-                will_consume = nxt is not None and (
-                    nxt.tie_continue or nxt.tie_stop)
-                if will_consume:
-                    open_tie = True
+        notes.sort(key=lambda x: (x[0], x[2]))
+        open_until = None  # offset where an open tie expects its next link
+        for i, (onset, offset, _, note) in enumerate(notes):
+            if note.tie_continue or note.tie_stop:
+                if open_until is None or onset != open_until:
+                    note.tie_continue = note.tie_stop = False
+            if note.tie_stop:
+                open_until = None
+            if note.tie_start or note.tie_continue:
+                has_link = any(
+                    o2 == offset and (n2.tie_continue or n2.tie_stop)
+                    for (o2, _, _, n2) in notes[i + 1:])
+                if has_link:
+                    open_until = offset
                 else:
-                    if n.tie_continue:
-                        n.tie_continue, n.tie_stop = False, True
-                    n.tie_start = False
-                    open_tie = False
+                    if note.tie_continue:
+                        note.tie_continue, note.tie_stop = False, True
+                    note.tie_start = False
+                    open_until = None
     return part

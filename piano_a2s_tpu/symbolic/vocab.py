@@ -133,8 +133,8 @@ class LabelsMultiple:
     def decode(self, tokens) -> List[str]:
         """Inverse of :meth:`encode`; ``<b>`` maps back to a space.
 
-        Unknown ids and id 0 behave like the reference (dropped — the
-        reference filters falsy entries, which also drops label id 0, "1").
+        Unknown ids are dropped (the reference filters falsy entries —
+        label id 0 maps to the truthy string "1" and is kept).
         (reference: humdrum.py:129-131)
         """
         decoded = [self.labels_map_inv.get(int(t)) for t in tokens]
@@ -183,12 +183,8 @@ class LabelsSingle:
         notes = base_pitches[: base_pitches.index("eeee#") + 1]
         if extended:
             durations.extend(_EXT_DURATIONS)
-            notes.extend(ext_pitches[:-1])  # CCC..BBB, CC-
-            notes.append("CC-")
-            notes.extend(["ffff-", "ffff"])
-            # match reference order: CCC..BBB then CC- then ffff-/ffff
-            notes = (base_pitches[: base_pitches.index("eeee#") + 1]
-                     + ext_pitches + ["ffff-", "ffff"])
+            # reference order: CCC..BBB then CC- then ffff-/ffff
+            notes = notes + ext_pitches + ["ffff-", "ffff"]
         self.labels: List[str] = []
         for d in durations:
             for n in notes:
