@@ -106,6 +106,14 @@ def read_maestro_metadata(csv_path: str) -> dict:
     return {k: np.array(v) for k, v in meta.items()}
 
 
+def set_seed(seed: int) -> None:
+    """Seed host-side RNGs (reference: utilities.py:228-232 seeds torch +
+    numpy; JAX device randomness uses explicit PRNG keys instead)."""
+    import random
+    random.seed(seed)
+    np.random.seed(seed)
+
+
 def create_logging(log_dir: str, filemode: str = "w"):
     """File+console logging with auto-numbered log files (reference:
     utilities.py:80-102)."""
