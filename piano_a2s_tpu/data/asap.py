@@ -114,7 +114,12 @@ class ProcessASAP:
         return unmatched
 
     def _score_to_kern_chunks(self, folder: str):
-        """Full score -> cleaned kern -> 5-bar chunks (stride 1)."""
+        """Full score -> kern -> RAW 5-bar chunks (stride 1).
+
+        Chunks are cleaned individually in _process_chunk so a single
+        ornament somewhere in the score only discards ITS chunks, matching
+        the reference's per-chunk cleaning (asap.py:126-133)."""
+        from ..symbolic.humdrum import count_measure_segments
         xml_path = os.path.join(folder, "xml_score.musicxml")
         kern_path = os.path.join(folder, "xml_score.converted.krn")
         r = subprocess.run(
@@ -125,12 +130,7 @@ class ProcessASAP:
         with open(kern_path, encoding="iso-8859-1") as f:
             text = f.read()
         full = Kern(data=text)
-        n_measures = sum(
-            1 for line in full.body
-            if line.startswith("=") and not line.startswith("=="))
-        ok, cleaned = full.clean()
-        if not ok or cleaned:
-            return None, n_measures
+        n_measures = count_measure_segments("\n".join(full.body))
         try:
             chunks = full.split(5, 1)
         except Exception:
@@ -170,11 +170,16 @@ class ProcessASAP:
             peak = np.max(np.abs(audio))
             if peak > 0:
                 audio = audio / peak
-            for i, chunk in enumerate(chunks):
+            # Annotation index i refers to real measures i+1..i+5. With an
+            # upbeat, kern chunk 0 starts at the PICKUP, so the chunk for
+            # annotation i is chunks[i+1] (the reference slices
+            # m21.measures(i+1, i+5), excluding the pickup).
+            offset = 1 if upbeat else 0
+            for i in range(len(chunks) - offset):
                 if upbeat and i == 0:
-                    continue
-                self._process_chunk(chunk, i, audio, sr, downbeats,
-                                    score_name, performance,
+                    continue  # reference skips the first upbeat window
+                self._process_chunk(chunks[i + offset], i, audio, sr,
+                                    downbeats, score_name, performance,
                                     feature_folder, split)
         return unmatched
 
@@ -191,7 +196,9 @@ class ProcessASAP:
         if len(chunk_audio) > 12 * sr or len(chunk_audio) < 4 * sr:
             return False
 
-        text = tiefix_kern(chunk.dump())
+        # Per-chunk cleaning (reference semantics: a chunk whose own five
+        # measures needed cleaning is skipped; other chunks survive).
+        text = chunk.dump()
         lower = Kern(data=extract_spine(text, 1))
         upper = Kern(data=extract_spine(text, 2))
         full = Kern(data=text)

@@ -27,8 +27,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..symbolic.humdrum import (Kern, process_voices, sort_chords,
-                                sort_voices)
+from ..symbolic.humdrum import (BARLINE_RE as _BARLINE_RE, Kern,
+                                process_voices, sort_chords, sort_voices)
 from ..symbolic.native import extract_spine, tiefix_kern, transpose_kern
 from ..symbolic.vocab import LabelsMultiple
 from .audio_fx import Compressor, normalize_rendered_audio
@@ -92,7 +92,6 @@ def get_staff_spines(kern_text: str) -> Tuple[int, int]:
 
 _KEYSIG_RE = re.compile(r"\*k\[([a-g#\-]*)\]")
 _TIMESIG_RE = re.compile(r"\*M(\d+)/(\d+)")
-_BARLINE_RE = re.compile(r"^=(\d+|=)[^-]*")
 
 
 def measure_signatures(kern_text: str

@@ -291,9 +291,11 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
     B = enc.shape[0]
     t_up, t_low = cfg.max_length
     T = max(t_up, t_low)
+    gt_up_p = jnp.pad(jnp.asarray(gt_up), ((0, 0), (0, T - t_up)),
+                      constant_values=cfg.pad)
     gt_low_p = jnp.pad(jnp.asarray(gt_low), ((0, 0), (0, T - t_low)),
                        constant_values=cfg.pad)
-    gt2 = jnp.stack([jnp.asarray(gt_up), gt_low_p]).astype(jnp.int32)
+    gt2 = jnp.stack([gt_up_p, gt_low_p]).astype(jnp.int32)
     gt_xs = jnp.moveaxis(gt2, 2, 0)  # (T, 2, B)
     sos2 = _dual_embed(dual_params, jnp.full((2, B), cfg.sos, jnp.int32))
     step_keys = jax.random.split(rng, T * 4).reshape(T, 4, 2)

@@ -27,8 +27,28 @@ CLASSIC_TEMPOS = {
 }
 
 _BARLINE_RE = re.compile(r"^=(\d+|=)[^-]*")
+BARLINE_RE = _BARLINE_RE  # public alias: the one definition of a barline
 _NOTE_SEARCH_RE = re.compile(r"(\[?)(\d+\.*)([a-gA-G]{1,4}[\-#]*)(;?)([\]_]?)")
 _REST_RE = re.compile(r"(\[?)(\d+\.*)([r]{1,4}[\-#]*)")
+
+
+def count_measure_segments(text: str) -> int:
+    """Number of measures in kern text: segments separated by barlines that
+    contain at least one data line. A pickup before the first numbered
+    barline counts as a measure (music21-compatible counting)."""
+    count = 0
+    has_content = False
+    for line in text.splitlines():
+        if _BARLINE_RE.match(line):
+            if has_content:
+                count += 1
+            has_content = False
+            continue
+        if line and not line.startswith(("*", "!", "=")):
+            has_content = True
+    if has_content:
+        count += 1
+    return count
 
 
 class Humdrum:

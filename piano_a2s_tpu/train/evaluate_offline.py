@@ -128,7 +128,10 @@ def summarize_syn_mv2h(results_dir: str, composer: str = "all",
         clip_id = mv2h_file[:-10]  # strip '_mv2h.json'
         if ids is not None and clip_id not in ids:
             continue
-        v, chunk_id, sf = clip_id.split("~")[:3]
+        parts = clip_id.split("~")
+        if len(parts) < 3 or not parts[0].isdigit():
+            continue  # foreign id (e.g. ASAP 'asap~name') in a shared folder
+        v, chunk_id, sf = parts[:3]
         skip = False
         for i, c in enumerate(["score", "Bach", "Mozart", "Chopin"]):
             if composer == c and int(v) != i:

@@ -81,6 +81,9 @@ class Trainer:
                if k not in ("names", "versions", "n_real")}
         # Zero-weight the final batch's padding duplicates so they add
         # nothing to losses/gradients (shapes stay static & mesh-divisible).
+        # Known approximation: duplicates still enter train-mode BatchNorm
+        # batch statistics (weighted BN is not worth the plumbing for one
+        # short batch per epoch).
         b = len(batch["names"])
         n_real = int(batch.get("n_real", b))
         weights = np.zeros(b, np.float32)

@@ -127,6 +127,8 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
         t_step, donate_argnums=(0, 1, 2),
         in_shardings=(repl, repl, repl, data, repl, repl),
         out_shardings=(repl, repl, repl, repl))
+    # Eval predictions come back replicated: multi-host device_get on a
+    # data-sharded output would fail (non-addressable shards).
     e_jit = jax.jit(e_step, in_shardings=(repl, repl, data),
-                    out_shardings=(repl, data))
+                    out_shardings=(repl, repl))
     return t_jit, e_jit
