@@ -138,7 +138,7 @@ Interval parse_interval(const std::string& s) {
   } else if (s[i] == '+') {
     ++i;
   }
-  if (i + 1 >= s.size() + 0 && i >= s.size()) {
+  if (i >= s.size()) {
     iv.valid = false;
     return iv;
   }
@@ -193,28 +193,56 @@ int interval_fifths_delta(const Interval& iv) {
 // ---------------------------------------------------------------------------
 
 struct SpineTracker {
-  std::vector<int> col_spine;  // spine id per current column
+  std::vector<int> col_spine;             // spine id per current column
+  std::map<int, std::string> spine_type;  // id -> exclusive interpretation
+  bool started = false;
 
-  void init(int n) {
+  void init(const std::vector<std::string>& header_cols) {
     col_spine.clear();
-    for (int i = 0; i < n; ++i) col_spine.push_back(i + 1);
+    spine_type.clear();
+    for (size_t i = 0; i < header_cols.size(); ++i) {
+      col_spine.push_back(static_cast<int>(i) + 1);
+      spine_type[static_cast<int>(i) + 1] = header_cols[i];
+    }
+    started = true;
   }
 
-  // Apply a *^/*v manipulation line; cols are the line's items.
-  void apply(const std::vector<std::string>& cols) {
+  int spine(size_t ci) const {
+    if (!started) return static_cast<int>(ci) + 1;
+    return ci < col_spine.size() ? col_spine[ci] : 0;
+  }
+
+  bool is_kern(size_t ci) const {
+    if (!started) return true;  // bare fragments default to kern
+    auto it = spine_type.find(spine(ci));
+    return it != spine_type.end() &&
+           it->second.rfind("**kern", 0) == 0;
+  }
+
+  // Apply a *^/*v manipulation line. false on unsupported *+ / *x.
+  bool apply(const std::vector<std::string>& cols) {
+    for (const auto& c : cols)
+      if (c == "*+" || c == "*x") return false;
+    if (!started) return true;
     std::vector<int> next;
-    for (size_t i = 0; i < cols.size() && i < col_spine.size() + 64; ++i) {
-      int spine = i < col_spine.size() ? col_spine[i] : 0;
+    bool in_merge_run = false;
+    for (size_t i = 0; i < cols.size(); ++i) {
+      int sp = i < col_spine.size() ? col_spine[i] : 0;
+      if (cols[i] == "*v") {
+        if (!in_merge_run) next.push_back(sp);  // merged col: first id
+        in_merge_run = true;
+        continue;
+      }
+      in_merge_run = false;
       if (cols[i] == "*^") {
-        next.push_back(spine);
-        next.push_back(spine);
-      } else if (cols[i] == "*v") {
-        if (next.empty() || next.back() != spine) next.push_back(spine);
+        next.push_back(sp);
+        next.push_back(sp);
       } else {
-        next.push_back(spine);
+        next.push_back(sp);
       }
     }
     col_spine = next;
+    return true;
   }
 };
 
@@ -231,11 +259,11 @@ extern "C" {
 void kern_free(char* p) { std::free(p); }
 
 // extractx -s N equivalent: keep columns of 1-based spine N, following
-// spine splits/merges. Global (!!) lines pass through.
+// spine splits/merges. Global (!!) lines pass through. Returns nullptr on
+// unsupported *+ / *x manipulators (column identities would be wrong).
 char* kern_extract_spine(const char* data, int spine) {
   std::vector<std::string> lines = split_lines(data ? data : "");
   SpineTracker tracker;
-  bool started = false;
   std::ostringstream out;
   for (const auto& line : lines) {
     if (line.rfind("!!", 0) == 0 || line.empty()) {
@@ -243,16 +271,15 @@ char* kern_extract_spine(const char* data, int spine) {
       continue;
     }
     std::vector<std::string> cols = split_tabs(line);
-    if (!started && line.rfind("**", 0) == 0) {
-      tracker.init(static_cast<int>(cols.size()));
-      started = true;
+    if (!tracker.started && line.rfind("**", 0) == 0) {
+      tracker.init(cols);
     }
     std::vector<std::string> kept;
     for (size_t i = 0; i < cols.size() && i < tracker.col_spine.size();
          ++i) {
       if (tracker.col_spine[i] == spine) kept.push_back(cols[i]);
     }
-    if (started && is_manip(cols)) {
+    if (tracker.started && is_manip(cols)) {
       // Emit manipulators only if they affect the kept spine.
       bool any = false;
       for (const auto& k : kept)
@@ -263,7 +290,7 @@ char* kern_extract_spine(const char* data, int spine) {
         if (!(kept.size() == 1 && kept[0] == "*v")) out << join(kept, '\t')
                                                         << '\n';
       }
-      tracker.apply(cols);
+      if (!tracker.apply(cols)) return nullptr;
       continue;
     }
     if (!kept.empty()) out << join(kept, '\t') << '\n';
@@ -280,16 +307,31 @@ char* kern_transpose(const char* data, const char* interval_str) {
   std::vector<std::string> lines = split_lines(data ? data : "");
   std::ostringstream out;
   int fifths_delta = interval_fifths_delta(iv);
+  SpineTracker tracker;
 
   for (const auto& line : lines) {
-    if (line.rfind("!", 0) == 0 || line.rfind("=", 0) == 0 ||
-        line.rfind("**", 0) == 0) {
+    if (line.rfind("**", 0) == 0) {
+      if (!tracker.started) tracker.init(split_tabs(line));
+      out << line << '\n';
+      continue;
+    }
+    if (line.rfind("!", 0) == 0 || line.rfind("=", 0) == 0) {
       out << line << '\n';
       continue;
     }
     std::vector<std::string> cols = split_tabs(line);
+    if (line.rfind("*", 0) == 0 && is_manip(cols)) {
+      tracker.apply(cols);  // *+/*x columns pass through untouched
+      out << line << '\n';
+      continue;
+    }
     std::vector<std::string> newcols;
-    for (auto& col : cols) {
+    for (size_t ci = 0; ci < cols.size(); ++ci) {
+      auto& col = cols[ci];
+      if (!tracker.is_kern(ci)) {
+        newcols.push_back(col);  // never transpose non-**kern spines
+        continue;
+      }
       if (col.rfind("*k[", 0) == 0) {
         // Count sharps(+)/flats(-) -> fifths; shift; regenerate.
         int sharps = 0, flats = 0;
@@ -399,11 +441,21 @@ char* kern_tiefix(const char* data) {
     size_t line, col, note;
     bool open, cont, close;
   };
-  std::map<std::pair<size_t, std::string>, std::vector<Ref>> chains;
+  std::map<std::pair<int, std::string>, std::vector<Ref>> chains;
   std::vector<std::vector<std::vector<std::string>>> parsed(lines.size());
+  SpineTracker tracker;
   for (size_t li = 0; li < lines.size(); ++li) {
     const std::string& line = lines[li];
-    if (line.empty() || line[0] == '!' || line[0] == '*' || line[0] == '=')
+    if (line.rfind("**", 0) == 0 && !tracker.started) {
+      tracker.init(split_tabs(line));
+      continue;
+    }
+    if (!line.empty() && line[0] == '*') {
+      std::vector<std::string> items = split_tabs(line);
+      if (is_manip(items)) tracker.apply(items);
+      continue;
+    }
+    if (line.empty() || line[0] == '!' || line[0] == '=')
       continue;
     std::vector<std::string> cols = split_tabs(line);
     parsed[li].resize(cols.size());
@@ -440,7 +492,8 @@ char* kern_tiefix(const char* data) {
           if (lo == 'r') break;
         }
         if (start == std::string::npos) continue;
-        chains[{ci, n.substr(start, end - start)}].push_back(
+        // Chains follow SPINES (stable across *^/*v), not raw columns.
+        chains[{tracker.spine(ci), n.substr(start, end - start)}].push_back(
             {li, ci, ni, open, cont, close});
       }
     }

@@ -25,6 +25,15 @@ def _interpolate(value: Any, root: Dict[str, Any], depth: int = 0) -> Any:
     if depth > 10:
         raise ValueError("config interpolation too deep (cycle?)")
     if isinstance(value, str):
+        # A value that IS a single reference keeps the referenced type
+        # (like HyperPyYAML's !ref); mixed text stringifies.
+        whole = _PLACEHOLDER_RE.fullmatch(value)
+        if whole:
+            key = whole.group(1)
+            if key not in root:
+                raise KeyError(f"config reference <{key}> not found")
+            return _interpolate(root[key], root, depth + 1)
+
         def sub(m):
             key = m.group(1)
             if key not in root:
@@ -56,6 +65,10 @@ def apply_overrides(cfg: Dict[str, Any], overrides: List[str]) -> None:
         parts = key.split(".")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"override '{ov}': '{p}' is not a mapping "
+                    f"(cannot set nested key)")
         node[parts[-1]] = _coerce(val)
 
 
@@ -86,7 +99,7 @@ class ExperimentConfig:
     num_keys: int = 14
     max_duration: int = 12
     frames_per_second: int = 100
-    max_frame_num: int = 1201
+    max_frame_num: Optional[int] = None  # derived unless set explicitly
     hop_length: int = 160
     bins_per_octave: int = 60
     n_octaves: int = 8
@@ -120,7 +133,11 @@ class ExperimentConfig:
 
     def __post_init__(self):
         self.max_length = tuple(self.max_length)
-        self.max_frame_num = self.max_duration * self.frames_per_second + 1
+        if self.max_frame_num is None:
+            self.max_frame_num = int(self.max_duration
+                                     * self.frames_per_second) + 1
+        else:
+            self.max_frame_num = int(self.max_frame_num)
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":

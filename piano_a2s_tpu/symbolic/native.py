@@ -139,16 +139,83 @@ _SHARP_ORDER = ["f#", "c#", "g#", "d#", "a#", "e#", "b#"]
 _FLAT_ORDER = ["b-", "e-", "a-", "d-", "g-", "c-", "f-"]
 
 
+class _SpineMap:
+    """Column -> spine tracking through *^ / *v manipulators, with spine
+    types from the exclusive-interpretation line. Columns of a file with no
+    ** header default to kern (bare fragments in tests/pipelines)."""
+
+    def __init__(self):
+        self.cols: List[int] = []
+        self.types: dict = {}
+        self.started = False
+
+    def start(self, header_cols: List[str]) -> None:
+        self.cols = list(range(1, len(header_cols) + 1))
+        self.types = {i + 1: t for i, t in enumerate(header_cols)}
+        self.started = True
+
+    def spine(self, ci: int) -> int:
+        if not self.started:
+            return ci + 1
+        return self.cols[ci] if ci < len(self.cols) else 0
+
+    def is_kern(self, ci: int) -> bool:
+        if not self.started:
+            return True
+        return self.types.get(self.spine(ci), "").startswith("**kern")
+
+    @staticmethod
+    def is_manip_line(items: List[str]) -> bool:
+        return any(x in ("*^", "*v", "*+", "*x") for x in items)
+
+    def apply_manip(self, items: List[str]) -> bool:
+        """Apply one manipulator line. False on unsupported *+ / *x
+        (column identities would be wrong afterwards)."""
+        if any(x in ("*+", "*x") for x in items):
+            return False
+        if not self.started:
+            return True
+        nxt: List[int] = []
+        in_merge_run = False
+        for idx, item in enumerate(items):
+            spine = self.cols[idx] if idx < len(self.cols) else 0
+            if item == "*v":
+                if not in_merge_run:
+                    nxt.append(spine)  # merged column keeps the first id
+                in_merge_run = True
+                continue
+            in_merge_run = False
+            if item == "*^":
+                nxt.extend([spine, spine])
+            else:
+                nxt.append(spine)
+        self.cols = nxt
+        return True
+
+
 def _py_transpose(data: str, interval: str) -> str:
     d, c = parse_interval(interval)
     fifths_delta = 7 * c - 12 * d
     out_lines: List[str] = []
+    smap = _SpineMap()
     for line in data.split("\n"):
-        if line.startswith(("!", "=", "**")):
+        if line.startswith("**"):
+            smap.start(line.split("\t"))
+            out_lines.append(line)
+            continue
+        if line.startswith(("!", "=")):
+            out_lines.append(line)
+            continue
+        items = line.split("\t")
+        if line.startswith("*") and _SpineMap.is_manip_line(items):
+            smap.apply_manip(items)  # *+/*x columns pass through untouched
             out_lines.append(line)
             continue
         cols = []
-        for col in line.split("\t"):
+        for ci, col in enumerate(items):
+            if not smap.is_kern(ci):
+                cols.append(col)  # never transpose non-**kern spines
+                continue
             if col.startswith("*k["):
                 sharps = col.count("#")
                 flats = col.count("-")
@@ -203,36 +270,29 @@ def _py_transpose(data: str, interval: str) -> str:
 
 
 def _py_extract_spine(data: str, spine: int) -> str:
-    col_spine: List[int] = []
-    started = False
+    smap = _SpineMap()
     out: List[str] = []
-    for line in data.split("\n"):
+    lines = data.split("\n")
+    for i, line in enumerate(lines):
         if line.startswith("!!") or line == "":
-            if line or not data.endswith("\n"):
+            # keep interior blank lines; drop only the trailing one from
+            # the final newline (matches the C++ implementation)
+            if line or i < len(lines) - 1:
                 out.append(line)
             continue
         cols = line.split("\t")
-        if not started and line.startswith("**"):
-            col_spine = list(range(1, len(cols) + 1))
-            started = True
-        kept = [cols[i] for i in range(min(len(cols), len(col_spine)))
-                if col_spine[i] == spine]
-        manip = any(x in ("*^", "*v", "*+", "*x") for x in cols)
-        if started and manip:
+        if not smap.started and line.startswith("**"):
+            smap.start(cols)
+        kept = [cols[ci] for ci in range(len(cols))
+                if smap.started and smap.spine(ci) == spine
+                and ci < len(smap.cols)]
+        if smap.started and _SpineMap.is_manip_line(cols):
             if any(k in ("*^", "*v") for k in kept) and kept and \
                     not (len(kept) == 1 and kept[0] == "*v"):
                 out.append("\t".join(kept))
-            nxt: List[int] = []
-            for i, col in enumerate(cols):
-                sp = col_spine[i] if i < len(col_spine) else 0
-                if col == "*^":
-                    nxt.extend([sp, sp])
-                elif col == "*v":
-                    if not nxt or nxt[-1] != sp:
-                        nxt.append(sp)
-                else:
-                    nxt.append(sp)
-            col_spine = nxt
+            if not smap.apply_manip(cols):
+                raise ValueError(
+                    "unsupported spine manipulators *+/*x in kern input")
             continue
         if kept:
             out.append("\t".join(kept))
@@ -243,8 +303,17 @@ def _py_tiefix(data: str) -> str:
     lines = data.split("\n")
     parsed = {}
     chains = {}
+    smap = _SpineMap()
     for li, line in enumerate(lines):
-        if not line or line[0] in "!*=":
+        if line.startswith("**") and not smap.started:
+            smap.start(line.split("\t"))
+            continue
+        if line.startswith("*"):
+            items = line.split("\t")
+            if _SpineMap.is_manip_line(items):
+                smap.apply_manip(items)
+            continue
+        if not line or line[0] in "!=":
             continue
         cols = line.split("\t")
         notes_by_col = [col.split(" ") for col in cols]
@@ -261,7 +330,8 @@ def _py_tiefix(data: str) -> str:
                 m = _PITCH_IN_NOTE.search(n)
                 if not m or "r" in n[:m.start()]:
                     continue
-                chains.setdefault((ci, m.group(0)), []).append(
+                # Chains follow SPINES (stable across *^/*v), not columns.
+                chains.setdefault((smap.spine(ci), m.group(0)), []).append(
                     [li, ci, ni, has_open, has_cont, has_close])
     strip = set()
     convert = set()  # dangling '_' becomes ']' (ends the tie legally)
