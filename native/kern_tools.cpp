@@ -193,55 +193,70 @@ int interval_fifths_delta(const Interval& iv) {
 // ---------------------------------------------------------------------------
 
 struct SpineTracker {
-  std::vector<int> col_spine;             // spine id per current column
-  std::map<int, std::string> spine_type;  // id -> exclusive interpretation
+  // Each column carries its ROOT spine (header spine it descends from —
+  // used by extraction and type checks) and a BRANCH id (unique per split
+  // branch — used by tie chains so sibling unison ties never interleave).
+  std::vector<std::pair<int, int>> cols;  // (root, branch) per column
+  std::map<int, std::string> spine_type;  // root id -> interpretation
+  int next_id = 1;                        // fresh branch ids
   bool started = false;
 
   void init(const std::vector<std::string>& header_cols) {
-    col_spine.clear();
+    cols.clear();
     spine_type.clear();
     for (size_t i = 0; i < header_cols.size(); ++i) {
-      col_spine.push_back(static_cast<int>(i) + 1);
-      spine_type[static_cast<int>(i) + 1] = header_cols[i];
+      int id = static_cast<int>(i) + 1;
+      cols.push_back({id, id});
+      spine_type[id] = header_cols[i];
     }
+    next_id = static_cast<int>(header_cols.size()) + 1;
     started = true;
   }
 
-  int spine(size_t ci) const {
+  int root(size_t ci) const {
     if (!started) return static_cast<int>(ci) + 1;
-    return ci < col_spine.size() ? col_spine[ci] : 0;
+    return ci < cols.size() ? cols[ci].first : 0;
+  }
+
+  int spine(size_t ci) const {  // branch identity
+    if (!started) return static_cast<int>(ci) + 1;
+    return ci < cols.size() ? cols[ci].second : 0;
   }
 
   bool is_kern(size_t ci) const {
     if (!started) return true;  // bare fragments default to kern
-    auto it = spine_type.find(spine(ci));
+    auto it = spine_type.find(root(ci));
     return it != spine_type.end() &&
            it->second.rfind("**kern", 0) == 0;
   }
 
   // Apply a *^/*v manipulation line. false on unsupported *+ / *x.
-  bool apply(const std::vector<std::string>& cols) {
-    for (const auto& c : cols)
+  bool apply(const std::vector<std::string>& items) {
+    for (const auto& c : items)
       if (c == "*+" || c == "*x") return false;
     if (!started) return true;
-    std::vector<int> next;
+    std::vector<std::pair<int, int>> next;
     bool in_merge_run = false;
-    for (size_t i = 0; i < cols.size(); ++i) {
-      int sp = i < col_spine.size() ? col_spine[i] : 0;
-      if (cols[i] == "*v") {
-        if (!in_merge_run) next.push_back(sp);  // merged col: first id
+    for (size_t i = 0; i < items.size(); ++i) {
+      std::pair<int, int> pair =
+          i < cols.size() ? cols[i] : std::make_pair(0, 0);
+      if (items[i] == "*v") {
+        if (!in_merge_run) next.push_back(pair);  // merged: first ids
         in_merge_run = true;
         continue;
       }
       in_merge_run = false;
-      if (cols[i] == "*^") {
-        next.push_back(sp);
-        next.push_back(sp);
+      if (items[i] == "*^") {
+        // First branch keeps the parent branch id (ties may span the
+        // split); the second gets a fresh branch id.
+        next.push_back(pair);
+        next.push_back({pair.first, next_id});
+        ++next_id;
       } else {
-        next.push_back(sp);
+        next.push_back(pair);
       }
     }
-    col_spine = next;
+    cols = next;
     return true;
   }
 };
@@ -275,9 +290,8 @@ char* kern_extract_spine(const char* data, int spine) {
       tracker.init(cols);
     }
     std::vector<std::string> kept;
-    for (size_t i = 0; i < cols.size() && i < tracker.col_spine.size();
-         ++i) {
-      if (tracker.col_spine[i] == spine) kept.push_back(cols[i]);
+    for (size_t i = 0; i < cols.size() && i < tracker.cols.size(); ++i) {
+      if (tracker.root(i) == spine) kept.push_back(cols[i]);
     }
     if (tracker.started && is_manip(cols)) {
       // Emit manipulators only if they affect the kept spine.

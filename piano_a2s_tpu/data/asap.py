@@ -20,8 +20,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..symbolic.humdrum import (Kern, process_voices, sort_chords,
-                                sort_voices)
+from ..symbolic.humdrum import (Kern, count_measure_segments,
+                                process_voices, sort_chords, sort_voices)
 from ..symbolic.native import extract_spine, tiefix_kern
 from ..symbolic.vocab import LabelsMultiple
 from .datasets import load_split_list, load_time_signatures
@@ -119,7 +119,6 @@ class ProcessASAP:
         Chunks are cleaned individually in _process_chunk so a single
         ornament somewhere in the score only discards ITS chunks, matching
         the reference's per-chunk cleaning (asap.py:126-133)."""
-        from ..symbolic.humdrum import count_measure_segments
         xml_path = os.path.join(folder, "xml_score.musicxml")
         kern_path = os.path.join(folder, "xml_score.converted.krn")
         r = subprocess.run(
@@ -199,8 +198,11 @@ class ProcessASAP:
         # Per-chunk cleaning (reference semantics: a chunk whose own five
         # measures needed cleaning is skipped; other chunks survive).
         text = chunk.dump()
-        lower = Kern(data=extract_spine(text, 1))
-        upper = Kern(data=extract_spine(text, 2))
+        try:
+            lower = Kern(data=extract_spine(text, 1))
+            upper = Kern(data=extract_spine(text, 2))
+        except ValueError:
+            return False  # unsupported *+/*x manipulators: skip chunk
         full = Kern(data=text)
         for kern in (lower, upper, full):
             ok, cleaned = kern.clean()
@@ -208,7 +210,10 @@ class ProcessASAP:
                 return False
         for kern, sub in ((lower, "kern_lower"), (upper, "kern_upper"),
                           (full, "kern")):
-            fixed = tiefix_kern(kern.dump())
+            try:
+                fixed = tiefix_kern(kern.dump())
+            except ValueError:
+                return False
             with open(os.path.join(feature_folder, sub, f"{name}.krn"),
                       "w", encoding="iso-8859-1") as f:
                 f.write(fixed)

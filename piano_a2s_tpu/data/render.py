@@ -160,8 +160,11 @@ def split_single_score(score_path: str, feature_folder: str,
         spine_lower, spine_upper = get_staff_spines(score_text)
     except (ValueError, IndexError):
         return 0
-    lower = Kern(data=extract_spine(score_text, spine_lower))
-    upper = Kern(data=extract_spine(score_text, spine_upper))
+    try:
+        lower = Kern(data=extract_spine(score_text, spine_lower))
+        upper = Kern(data=extract_spine(score_text, spine_upper))
+    except ValueError:
+        return 0  # unsupported *+/*x manipulators: skip the score
     full = Kern(data=score_text)
     for kern in (lower, upper, full):
         ok, _ = kern.clean()
@@ -183,7 +186,10 @@ def split_single_score(score_path: str, feature_folder: str,
         for kern_chunk, sub in zip((chunk_lists[0][j], chunk_lists[1][j],
                                     chunk_lists[2][j]),
                                    ("kern_lower", "kern_upper", "kern")):
-            fixed = tiefix_kern(kern_chunk.dump())
+            try:
+                fixed = tiefix_kern(kern_chunk.dump())
+            except ValueError:
+                fixed = kern_chunk.dump()  # leave ties as-is on odd input
             path = os.path.join(output_dir, sub, f"{score_name}.{j}.krn")
             with open(path, "w", encoding="iso-8859-1") as f:
                 f.write(fixed)
@@ -213,12 +219,15 @@ def _build_chunk_target(paths: Dict[str, str], chunk_id: str,
         info["original_key"] = int(original_key)
         info["transpose"] = str(interval)
         if interval != 0 and interval != "0":
-            for key_ in ("kern_lower", "kern_upper", "kern"):
-                with open(paths[key_], encoding="iso-8859-1") as f:
-                    text = f.read()
-                transposed = transpose_kern(text, str(interval))
-                with open(paths[key_], "w", encoding="iso-8859-1") as f:
-                    f.write(transposed)
+            try:
+                for key_ in ("kern_lower", "kern_upper", "kern"):
+                    with open(paths[key_], encoding="iso-8859-1") as f:
+                        text = f.read()
+                    transposed = transpose_kern(text, str(interval))
+                    with open(paths[key_], "w", encoding="iso-8859-1") as f:
+                        f.write(transposed)
+            except ValueError:
+                return 0  # unsupported manipulators: skip the chunk
             with open(paths["kern"], encoding="iso-8859-1") as f:
                 full_text = f.read()
             sigs = measure_signatures(full_text)

@@ -140,29 +140,40 @@ _FLAT_ORDER = ["b-", "e-", "a-", "d-", "g-", "c-", "f-"]
 
 
 class _SpineMap:
-    """Column -> spine tracking through *^ / *v manipulators, with spine
-    types from the exclusive-interpretation line. Columns of a file with no
-    ** header default to kern (bare fragments in tests/pipelines)."""
+    """Column tracking through *^ / *v manipulators.
+
+    Each column carries TWO identities: its ROOT spine (the header spine it
+    descends from — what extraction and spine-type checks need) and its
+    BRANCH id (unique per split branch — what tie chains need so sibling
+    unison ties never interleave). Files without a ** header default every
+    column to kern (bare fragments in tests/pipelines)."""
 
     def __init__(self):
-        self.cols: List[int] = []
+        self.cols: List[tuple] = []  # (root_id, branch_id) per column
         self.types: dict = {}
         self.started = False
 
     def start(self, header_cols: List[str]) -> None:
-        self.cols = list(range(1, len(header_cols) + 1))
+        self.cols = [(i + 1, i + 1) for i in range(len(header_cols))]
         self.types = {i + 1: t for i, t in enumerate(header_cols)}
+        self._next = len(header_cols) + 1  # fresh branch ids
         self.started = True
 
-    def spine(self, ci: int) -> int:
+    def root(self, ci: int) -> int:
         if not self.started:
             return ci + 1
-        return self.cols[ci] if ci < len(self.cols) else 0
+        return self.cols[ci][0] if ci < len(self.cols) else 0
+
+    def spine(self, ci: int) -> int:
+        """Branch identity (stable across *^/*v for the primary branch)."""
+        if not self.started:
+            return ci + 1
+        return self.cols[ci][1] if ci < len(self.cols) else 0
 
     def is_kern(self, ci: int) -> bool:
         if not self.started:
             return True
-        return self.types.get(self.spine(ci), "").startswith("**kern")
+        return self.types.get(self.root(ci), "").startswith("**kern")
 
     @staticmethod
     def is_manip_line(items: List[str]) -> bool:
@@ -175,20 +186,24 @@ class _SpineMap:
             return False
         if not self.started:
             return True
-        nxt: List[int] = []
+        nxt: List[tuple] = []
         in_merge_run = False
         for idx, item in enumerate(items):
-            spine = self.cols[idx] if idx < len(self.cols) else 0
+            pair = self.cols[idx] if idx < len(self.cols) else (0, 0)
             if item == "*v":
                 if not in_merge_run:
-                    nxt.append(spine)  # merged column keeps the first id
+                    nxt.append(pair)  # merged column keeps the first ids
                 in_merge_run = True
                 continue
             in_merge_run = False
             if item == "*^":
-                nxt.extend([spine, spine])
+                # First branch keeps the parent branch id (ties may span
+                # the split); the second gets a fresh branch id.
+                nxt.append(pair)
+                nxt.append((pair[0], self._next))
+                self._next += 1
             else:
-                nxt.append(spine)
+                nxt.append(pair)
         self.cols = nxt
         return True
 
@@ -208,7 +223,9 @@ def _py_transpose(data: str, interval: str) -> str:
             continue
         items = line.split("\t")
         if line.startswith("*") and _SpineMap.is_manip_line(items):
-            smap.apply_manip(items)  # *+/*x columns pass through untouched
+            if not smap.apply_manip(items):
+                raise ValueError(
+                    "unsupported spine manipulators *+/*x in kern input")
             out_lines.append(line)
             continue
         cols = []
@@ -284,8 +301,8 @@ def _py_extract_spine(data: str, spine: int) -> str:
         if not smap.started and line.startswith("**"):
             smap.start(cols)
         kept = [cols[ci] for ci in range(len(cols))
-                if smap.started and smap.spine(ci) == spine
-                and ci < len(smap.cols)]
+                if smap.started and ci < len(smap.cols)
+                and smap.root(ci) == spine]
         if smap.started and _SpineMap.is_manip_line(cols):
             if any(k in ("*^", "*v") for k in kept) and kept and \
                     not (len(kept) == 1 and kept[0] == "*v"):
@@ -311,7 +328,9 @@ def _py_tiefix(data: str) -> str:
         if line.startswith("*"):
             items = line.split("\t")
             if _SpineMap.is_manip_line(items):
-                smap.apply_manip(items)
+                if not smap.apply_manip(items):
+                    raise ValueError(
+                        "unsupported spine manipulators *+/*x in kern input")
             continue
         if not line or line[0] in "!=":
             continue
@@ -384,15 +403,25 @@ def _py_tiefix(data: str) -> str:
 # Public API: native first, Python fallback
 # ---------------------------------------------------------------------------
 
+def _reject_unsupported(kern_text: str) -> None:
+    if "*+" in kern_text or "*x" in kern_text:
+        raise ValueError(
+            "unsupported spine manipulators *+/*x in kern input")
+
+
 def extract_spine(kern_text: str, spine: int) -> str:
-    """Extract 1-based spine N (extractx -s N)."""
+    """Extract 1-based spine N (extractx -s N). Raises ValueError on
+    unsupported *+/*x manipulators."""
+    _reject_unsupported(kern_text)
     res = _call_native("kern_extract_spine",
                        kern_text.encode("iso-8859-1"), spine)
     return res if res is not None else _py_extract_spine(kern_text, spine)
 
 
 def transpose_kern(kern_text: str, interval: str) -> str:
-    """Diatonic transposition by interval string (transpose -t I)."""
+    """Diatonic transposition by interval string (transpose -t I). Raises
+    ValueError on unsupported *+/*x manipulators."""
+    _reject_unsupported(kern_text)
     res = _call_native("kern_transpose", kern_text.encode("iso-8859-1"),
                        str(interval).encode())
     return res if res is not None else _py_transpose(kern_text,
@@ -400,6 +429,8 @@ def transpose_kern(kern_text: str, interval: str) -> str:
 
 
 def tiefix_kern(kern_text: str) -> str:
-    """Repair dangling ties (tiefix)."""
+    """Repair dangling ties (tiefix). Raises ValueError on unsupported
+    *+/*x manipulators."""
+    _reject_unsupported(kern_text)
     res = _call_native("kern_tiefix", kern_text.encode("iso-8859-1"))
     return res if res is not None else _py_tiefix(kern_text)

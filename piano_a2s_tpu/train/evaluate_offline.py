@@ -161,8 +161,11 @@ def summarize_asap_mv2h(results_dir: str, split: Optional[str] = None):
     metrics = {k: 0.0 for k in MV2H_KEYS}
     n = 0
     for mv2h_file in sorted(os.listdir(mv2h_folder)):
-        if ids is not None and mv2h_file[:-10] not in ids:
+        clip_id = mv2h_file[:-10]
+        if ids is not None and clip_id not in ids:
             continue
+        if ids is None and clip_id.split("~")[0].isdigit():
+            continue  # synthetic-format id sharing the folder
         mv2h = _load_json(os.path.join(mv2h_folder, mv2h_file))
         for k in MV2H_KEYS:
             metrics[k] += (mv2h[k] - metrics[k]) / (n + 1)

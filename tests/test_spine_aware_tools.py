@@ -60,6 +60,34 @@ def test_cross_spine_merge_tracking():
         assert "2D" in out1 and "2A" not in out1, fn.__name__
 
 
+def test_parallel_unison_ties_in_split_branches():
+    # Two simultaneous same-pitch ties in the two branches of a split
+    # spine: each branch's chain must stay intact (branch identity), and
+    # extraction must still return BOTH branches (root identity).
+    data = ("**kern\n"
+            "4d\n"
+            "*^\n"
+            "[4c\t[4c\n"
+            "4c]\t4c]\n"
+            "*v\t*v\n"
+            "4e\n"
+            "*-\n")
+    for fn in (tiefix_kern, _py_tiefix):
+        out = fn(data)
+        assert "[4c\t[4c" in out, fn.__name__
+        assert "4c]\t4c]" in out, fn.__name__
+    for fn in (extract_spine, _py_extract_spine):
+        out = fn(data, 1)
+        assert "[4c\t[4c" in out, fn.__name__  # both branches extracted
+
+
+def test_transpose_rejects_unsupported_manipulators():
+    data = "**kern\t**kern\n*+\t*\n4c\t4d\t4e\n*-\t*-\t*-\n"
+    for fn in (transpose_kern, tiefix_kern):
+        with pytest.raises(ValueError):
+            fn(data) if fn is tiefix_kern else fn(data, "M2")
+
+
 def test_transpose_keysig_only_on_kern_spines():
     data = ("**kern\t**text\n"
             "*k[f#]\t*\n"
