@@ -22,6 +22,7 @@ import jax
 from ..config import ExperimentConfig
 from ..models import init_params, init_state
 from ..parallel import make_mesh, put_batch, put_replicated
+from ..utils.profiling import StepTimer, trace
 from .checkpoint import Checkpointer
 from .logger import FileTrainLogger
 from .metrics import calculate_f1, calculate_wer, unpad
@@ -52,6 +53,12 @@ class Trainer:
         # batch max are all <pad>). 0 disables bucketing.
         self.bucket_tokens = int(exp.extras.get("bucket_tokens", 64))
         self._bucket_steps = {}
+        # Profiling (SURVEY §5): per-step wall-clock timing + an XLA trace
+        # of the first few steps, enabled with --profile / extras.profile.
+        self.profile = bool(exp.extras.get("profile", False))
+        self.profile_trace_steps = int(
+            exp.extras.get("profile_trace_steps", 3))
+        self.step_timer = StepTimer() if self.profile else None
 
         self.scheduler = NewBobScheduler(
             initial_value=exp.lr, annealing_factor=exp.annealing_factor,
@@ -170,18 +177,45 @@ class Trainer:
                                        self.exp.teacher_forcing_decay, epoch)
             t0 = time.time()
             losses, comps_hist = [], []
-            for batch in train_loader:
+
+            def one_step(batch):
                 self.rng, step_key = jax.random.split(self.rng)
                 batch, step = self._bucketed(batch)
                 dev = self._device_batch(batch)
-                self.params, self.opt_state, self.state, out = \
-                    step(self.params, self.opt_state, self.state,
-                         dev, step_key, tf)
+                if self.step_timer is None:
+                    self.params, self.opt_state, self.state, out = \
+                        step(self.params, self.opt_state, self.state,
+                             dev, step_key, tf)
+                else:
+                    # Timing requires a device sync per step; only pay it
+                    # when profiling is on.
+                    with self.step_timer.time("train_step") as c:
+                        self.params, self.opt_state, self.state, out = \
+                            step(self.params, self.opt_state, self.state,
+                                 dev, step_key, tf)
+                        c["loss"] = out.loss
                 self.global_step += 1
-                losses.append(float(jax.device_get(out.loss)))
-                comps_hist.append(
-                    {k: float(jax.device_get(v))
-                     for k, v in out.components.items()})
+                # Keep loss/components ON DEVICE during the epoch: a
+                # per-step device_get would block the host on every step
+                # and forfeit async dispatch (the prefetching loader's
+                # whole point). One transfer at epoch end instead.
+                losses.append(out.loss)
+                comps_hist.append(out.components)
+
+            batches = iter(train_loader)
+            if (self.profile and epoch == self.start_epoch
+                    and self.profile_trace_steps > 0
+                    and self.is_main_process):
+                import itertools
+                trace_dir = os.path.join(self.exp.output_folder, "profile")
+                with trace(trace_dir):
+                    for batch in itertools.islice(
+                            batches, self.profile_trace_steps):
+                        one_step(batch)
+            for batch in batches:
+                one_step(batch)
+            losses = [float(x) for x in jax.device_get(losses)]
+            comps_hist = jax.device_get(comps_hist)
             self.train_stats = {
                 "loss": float(np.mean(losses)) if losses else -1.0,
                 **{k: float(np.mean([c[k] for c in comps_hist]))
@@ -193,12 +227,23 @@ class Trainer:
             old_lr, new_lr = self.scheduler(stage_stats["WER"])
             self.opt_state = set_learning_rate(self.opt_state, new_lr)
             if self.is_main_process:
+                stats_meta = {"epoch": epoch, "lr": old_lr,
+                              "epoch_time": round(time.time() - t0, 1)}
+                if self.step_timer is not None:
+                    summ = self.step_timer.summary().get("train_step")
+                    if summ:
+                        stats_meta["step_ms"] = round(
+                            summ["mean_s"] * 1e3, 2)
                 self.logger.log_stats(
-                    stats_meta={"epoch": epoch, "lr": old_lr,
-                                "epoch_time": round(time.time() - t0, 1)},
+                    stats_meta=stats_meta,
                     train_stats=self.train_stats, valid_stats=stage_stats)
             self.save_checkpoint(epoch, {"loss": stage_stats["loss"],
                                          "WER": stage_stats["WER"]})
+        if self.step_timer is not None and self.is_main_process:
+            prof_dir = os.path.join(self.exp.output_folder, "profile")
+            os.makedirs(prof_dir, exist_ok=True)
+            with open(os.path.join(prof_dir, "step_times.json"), "w") as f:
+                json.dump(self.step_timer.summary(), f, indent=2)
 
     # ------------------------------------------------------------- evaluate
 
@@ -227,10 +272,12 @@ class Trainer:
         for batch in loader:
             dev = self._device_batch(batch)
             out, preds = self.eval_step(self.params, self.state, dev)
-            losses.append(float(jax.device_get(out.loss)))
-            comps_hist.append({k: float(jax.device_get(v))
+            # Predictions are needed on host per batch anyway; fetch loss,
+            # components, and predictions in ONE transfer.
+            out, preds = jax.device_get((out, preds))
+            losses.append(float(out.loss))
+            comps_hist.append({k: float(v)
                                for k, v in out.components.items()})
-            preds = jax.device_get(preds)
             n_real = batch.get("n_real", len(batch["names"]))
             for b in range(n_real):
                 id_ = f"{batch['versions'][b]}~{batch['names'][b]}"

@@ -28,6 +28,10 @@ def main(argv=None):
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() so the "
                              "mesh spans all hosts (DCN between hosts)")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture an XLA trace of the first steps to "
+                             "<output_folder>/profile and log per-step "
+                             "timing (adds a device sync per step)")
     args = parser.parse_args(argv)
 
     if args.multihost:
@@ -40,6 +44,8 @@ def main(argv=None):
     from piano_a2s_tpu.train.harness import Trainer
 
     exp = load_experiment(args.hparams, args.overrides)
+    if args.profile:
+        exp.extras["profile"] = True
     os.makedirs(exp.output_folder, exist_ok=True)
 
     if args.data_parallel:

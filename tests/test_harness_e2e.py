@@ -130,3 +130,31 @@ def test_fit_evaluate_resume(exp):
     trainer2.fit(train_loader, valid_loader, epochs=3)
     log = open(exp.train_log).read()
     assert "epoch: 3" in log
+
+
+def test_profile_flag_produces_trace_and_step_times(exp):
+    """--profile wiring: an XLA trace of the first steps plus per-step
+    timing (profile/step_times.json and step_ms in the train log)."""
+    exp.extras["profile"] = True
+    exp.number_of_epochs = 1
+    train_ds = SyntheticTrainDataset(
+        exp.feature_folder, "train", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
+        rng=np.random.RandomState(0))
+    valid_ds = SyntheticTestDataset(
+        exp.feature_folder, "valid", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+    trainer = Trainer(exp)
+    trainer.fit(DataLoader(train_ds, exp.batch_size, shuffle=True, seed=0),
+                DataLoader(valid_ds, exp.batch_size))
+
+    prof_dir = os.path.join(exp.output_folder, "profile")
+    # jax.profiler writes plugins/profile/<ts>/*.trace.json.gz etc.
+    trace_files = [os.path.join(dp, f)
+                   for dp, _, fs in os.walk(prof_dir) for f in fs]
+    assert any("trace" in f or f.endswith(".pb") for f in trace_files), \
+        trace_files
+    times = json.load(open(os.path.join(prof_dir, "step_times.json")))
+    assert times["train_step"]["count"] == 2  # 4 songs / batch 2
+    assert times["train_step"]["mean_s"] > 0
+    assert "step_ms" in open(exp.train_log).read()
