@@ -183,3 +183,94 @@ def test_kern_to_midi_parity(ref):
 def test_add_split_token_parity(ref):
     body = ["4c", "4d\t4e", "4f\t4g", "2a", "!comment", "4b"]
     assert H.add_split_token(body) == ref.add_split_token(body)
+
+
+def test_sort_chords_unpitched_in_chord_parity(ref):
+    """Chords containing rests: the reference pairs the pitch list
+    positionally against ALL notes (misaligning and truncating); we must
+    byte-match that."""
+    data = "\n".join(["**kern", "*clefF4", "=1", "4r 4c", "4e 8r 4C",
+                      "2g 2d", "=", "*-"]) + "\n"
+    ours, theirs = _both(data, ref)
+    assert H.sort_chords(ours).dump() == ref.sort_chords(theirs).dump()
+
+
+def _spine_script_score(rng, n_spines=2, n_lines=30):
+    """Random multi-spine score with MIXED split-mark lines: any spine may
+    *^ while an adjacent pair *v-merges on the SAME line, plus 3-way
+    merges — exercising run carry-over and the *^-inside-a-run quirks."""
+    lines = ["\t".join("**kern" for _ in range(n_spines)),
+             "\t".join("*clefF4" for _ in range(n_spines)),
+             "\t".join("*M4/4" for _ in range(n_spines))]
+    width = n_spines
+    measure = 1
+    lines.append("\t".join(f"={measure}" for _ in range(width)))
+    for _ in range(n_lines):
+        r = rng.random()
+        if r < 0.18 and width < 5:
+            # a mark line: pick one spine to split, optionally merge a
+            # run elsewhere on the same line
+            cells = ["*"] * width
+            cells[rng.randrange(width)] = "*^"
+            lines.append("\t".join(cells))
+            width += 1
+        elif r < 0.33 and width > n_spines:
+            run = min(width, rng.choice([2, 2, 3]))
+            at = rng.randrange(width - run + 1)
+            cells = ["*"] * width
+            for k in range(run):
+                cells[at + k] = "*v"
+            # sometimes also split after the run on the same line
+            if rng.random() < 0.4 and at + run < width:
+                cells[at + run] = "*^"
+                lines.append("\t".join(cells))
+                width += 1 - (run - 1)
+            else:
+                lines.append("\t".join(cells))
+                width -= run - 1
+        elif r < 0.4:
+            measure += 1
+            lines.append("\t".join(f"={measure}" for _ in range(width)))
+        else:
+            lines.append("\t".join(_chord(rng) for _ in range(width)))
+    lines.append("\t".join("=" for _ in range(width)))
+    lines.append("\t".join("*-" for _ in range(width)))
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("constrained", [False, True])
+def test_mixed_split_lines_parity(ref, constrained):
+    """clean/tosequence/split parity on multi-spine scores with mixed
+    *^ / *v lines, in both constrained and unconstrained modes."""
+    rng = random.Random(7)
+    n_checked = 0
+    for trial in range(120):
+        data = _spine_script_score(rng, n_spines=rng.choice([1, 2, 3]))
+        try:
+            theirs = ref.Kern(data=data, constrained=constrained)
+            ok_t = theirs.clean()
+        except Exception:
+            continue  # reference crashed; skip the sample
+        ours = H.Kern(data=data, constrained=constrained)
+        ok_o = ours.clean()
+        assert ok_o == ok_t, trial
+        if not ok_o[0]:
+            continue
+        assert ours.dump() == theirs.dump(), trial
+        try:
+            seq_t = theirs.tosequence()
+        except Exception:
+            seq_t = "<crash>"
+        if seq_t != "<crash>":
+            assert ours.tosequence() == seq_t, trial
+        o2 = H.Kern(data=ours.dump(), constrained=constrained)
+        t2 = ref.Kern(data=theirs.dump(), constrained=constrained)
+        try:
+            ref_chunks = t2.split(3, 2)
+        except IndexError:
+            ref_chunks = None
+        if ref_chunks is not None:
+            assert [c.dump() for c in o2.split(3, 2)] == \
+                [c.dump() for c in ref_chunks], trial
+        n_checked += 1
+    assert n_checked > 40
