@@ -44,8 +44,15 @@ def run_syn(exp, stages, kern_folder, xml_folder):
             pool.map(work, version_groups)
     if "midi" in stages:
         print("Converting xml to midi...")
+        epr_generate = None
+        if exp.midi_syn == "epr":
+            # Default EPR path: a virtuosoNet checkout (fails fast with
+            # install instructions when absent).
+            from piano_a2s_tpu.data.epr import make_epr_generator
+            epr_generate = make_epr_generator(
+                exp.extras.get("virtuosonet_path"), workspace=exp.workspace)
         R.xml_to_midi(versions, exp.feature_folder, midi_syn=exp.midi_syn,
-                      seed=exp.seed)
+                      seed=exp.seed, epr_generate=epr_generate)
     if "clean" in stages:
         print("Cleaning files...")
         n = R.clean_files(versions, exp.feature_folder)
@@ -72,13 +79,17 @@ def main(argv=None):
     parser.add_argument("dataset", choices=["syn", "asap"])
     parser.add_argument("hparams")
     parser.add_argument("stages", nargs="*", default=[],
-                        help=f"syn stages subset of {ALL_STAGES}")
+                        help=f"syn stages subset of {ALL_STAGES}; "
+                             "key=value args are config overrides")
     parser.add_argument("--kern-folder", default="data_processing/kern")
     parser.add_argument("--xml-folder", default="data_processing/xml")
     args = parser.parse_args(argv)
 
+    overrides = [s for s in args.stages if "=" in s]
+    args.stages = [s for s in args.stages if "=" not in s]
+
     from piano_a2s_tpu.config import load_experiment
-    exp = load_experiment(args.hparams)
+    exp = load_experiment(args.hparams, overrides)
 
     if args.dataset == "syn":
         stages = args.stages or ALL_STAGES
