@@ -3,13 +3,30 @@
 
 Prints ONE JSON line:
   {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s",
-   "vs_baseline": N / <PyTorch-CPU reference clips/s>}
+   "vs_baseline": N / <PyTorch-CPU reference clips/s>, "configs": {...}}
 
-The baseline anchor is the PyTorch reference (/root/reference) running the
-same inference (batch 1, full 1201x480 spectrogram, greedy decode) on CPU
-with random weights — random weights never emit EOS, so BOTH sides decode
-the full 5x(398+189) steps: a worst-case, apples-to-apples comparison.
-The anchor is measured once and cached in .bench_baseline.json.
+The primary number is the WORST-CASE config: f32, full-length decode
+(random weights never emit EOS, so BOTH sides run all 5x(398+189) steps —
+apples-to-apples vs the PyTorch reference on CPU, whose anchor is measured
+once and cached in .bench_baseline.json).
+
+`configs` carries the tuned/secondary numbers so perf levers stay visible
+round-over-round (clips/s unless noted):
+  bf16_full_length        decode_dtype=bfloat16, same worst-case decode
+  early_exit_eos_biased   f32, EOS-biased head: realistic bars stop at EOS
+                          instead of the 398/189-step caps
+  train_b4_bucket64       full-size train step (fwd+bwd+Adadelta), B=4,
+                          length-bucketed decode scans (the real training
+                          config for ~40-token bars)
+  train_b8_full           train step at the 398/189 caps, B=8 — the largest
+                          MONOLITHIC full-size batch (B>=12 OOMs HBM in the
+                          backward: ConvStack activations ~1.9 GB per batch
+                          element; docs/DESIGN.md §7)
+  train_b16_accum2_full   train step at the caps, B=16 via accum_steps=2 —
+                          gradient accumulation keeps the activation
+                          footprint at microbatch size (exact full-batch
+                          gradient; tests/test_grad_accum.py)
+Set BENCH_CONFIGS=0 to print only the primary metric.
 """
 
 import json
@@ -24,11 +41,13 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 # can take minutes; repeat runs hit the cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# B=32 beats B=16 by ~18% on v5e (64 vs 54 clips/s measured; B=64 regresses
+# to 56 — HBM working-set growth outpaces the batching win beyond 32).
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
 
-def measure_ours() -> float:
+def measure_ours(decode_dtype=None, eos_bias: float = 0.0) -> float:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -38,6 +57,14 @@ def measure_ours() -> float:
 
     cfg = ModelConfig()
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if eos_bias:
+        # Bias both staves' output heads toward EOS so the free-running
+        # decode stops at realistic bar lengths (a trained model's
+        # behavior) instead of running to the 398/189-step caps.
+        for d in ("upper", "lower"):
+            b = np.array(params["decoder"][d]["out"]["b"])
+            b[cfg.eos] += eos_bias
+            params["decoder"][d]["out"]["b"] = jnp.asarray(b)
     state = init_state(cfg)
     kernels = tuple(map(jnp.asarray, build_kernels(VQTConfig())))
     rng = np.random.RandomState(0)
@@ -51,7 +78,7 @@ def measure_ours() -> float:
         spec = spec[:, None, :, :]  # (B, 1, 1201, 480)
         (ts, key, up, low, aux), _ = forward(
             params, state, spec, jax.random.PRNGKey(0), cfg=cfg,
-            train=False)
+            train=False, decode_dtype=decode_dtype)
         return (jnp.argmax(ts, -1), jnp.argmax(key, -1),
                 aux["upper_tokens"], aux["lower_tokens"],
                 aux["upper_lengths"], aux["lower_lengths"])
@@ -73,6 +100,52 @@ def measure_ours() -> float:
     # the chip's actual steady-state throughput.
     dt = min(timed_loop() for _ in range(3))
     return BATCH / dt
+
+
+def measure_train(batch_size: int, max_length=None,
+                  accum_steps: int = 1) -> float:
+    """Full training-step throughput (forward + backward + Adadelta),
+    clips/s at the given batch size and decode-scan caps."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    from piano_a2s_tpu.models import ModelConfig, init_params, init_state
+    from piano_a2s_tpu.train.step import make_jitted_steps, make_optimizer
+
+    cfg = ModelConfig()
+    if max_length is not None:
+        cfg = dataclasses.replace(cfg, max_length=tuple(max_length))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state = init_state(cfg)
+    opt = make_optimizer(lr=1.0)
+    opt_state = opt.init(params)
+    t_step, _ = make_jitted_steps(opt, cfg, accum_steps=accum_steps)
+    rng = np.random.RandomState(0)
+    b = batch_size
+    batch = {
+        "spectrogram": rng.randn(b, 1, 1201, 480).astype(np.float32),
+        "time_sig": rng.randint(0, 7, (b, cfg.max_bars)),
+        "key": rng.randint(0, 14, (b, cfg.max_bars)),
+        "upper": rng.randint(0, 140, (b, cfg.max_bars, cfg.max_length[0])),
+        "upper_lengths": rng.randint(3, min(60, cfg.max_length[0]),
+                                     (b, cfg.max_bars)),
+        "lower": rng.randint(0, 140, (b, cfg.max_bars, cfg.max_length[1])),
+        "lower_lengths": rng.randint(3, min(40, cfg.max_length[1]),
+                                     (b, cfg.max_bars)),
+    }
+    p, o, s = params, opt_state, state
+    p, o, s, out = t_step(p, o, s, batch, jax.random.PRNGKey(0), 0.7)
+    # device_get, not block_until_ready: the axon tunnel platform does not
+    # block on the latter, which would fake the timings.
+    jax.device_get(out.loss)
+    times = []
+    for i in range(max(3, ITERS)):
+        t0 = time.time()
+        p, o, s, out = t_step(p, o, s, batch, jax.random.PRNGKey(1 + i), 0.7)
+        jax.device_get(out.loss)
+        times.append(time.time() - t0)
+    return b / min(times)
 
 
 def measure_torch_baseline() -> float:
@@ -116,12 +189,27 @@ def get_baseline() -> float:
 def main():
     ours = measure_ours()
     baseline = get_baseline()
-    print(json.dumps({
+    record = {
         "metric": "clips_per_sec_per_chip",
         "value": round(ours, 3),
         "unit": "clips/s",
         "vs_baseline": round(ours / baseline, 2),
-    }))
+    }
+    if os.environ.get("BENCH_CONFIGS", "1") != "0":
+        import jax.numpy as jnp
+        configs = {}
+        configs["f32_full_length"] = round(ours, 2)
+        configs["bf16_full_length"] = round(
+            measure_ours(decode_dtype=jnp.bfloat16), 2)
+        configs["early_exit_eos_biased"] = round(
+            measure_ours(eos_bias=4.0), 2)
+        configs["train_b4_bucket64"] = round(
+            measure_train(4, max_length=(64, 64)), 2)
+        configs["train_b8_full"] = round(measure_train(8), 2)
+        configs["train_b16_accum2_full"] = round(
+            measure_train(16, accum_steps=2), 2)
+        record["configs"] = configs
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

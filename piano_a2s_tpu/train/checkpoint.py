@@ -25,6 +25,20 @@ import orbax.checkpoint as ocp
 CKPT_PREFIX = "CKPT"
 
 
+def _save_checkpointer() -> ocp.Checkpointer:
+    """Checkpointer for SAVING. Saves are gated to process 0 (harness), but
+    orbax's default save path runs a global barrier across ALL processes —
+    a lone process-0 call would deadlock a multi-host job. Scope the
+    barrier to process 0 instead. Restores are called by every process and
+    use the default (all-process) checkpointer."""
+    if jax.process_count() > 1:
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}))
+    return ocp.PyTreeCheckpointer()
+
+
 class Checkpointer:
     def __init__(self, checkpoints_dir: str):
         self.dir = os.path.abspath(checkpoints_dir)
@@ -54,7 +68,7 @@ class Checkpointer:
         tag = f"{CKPT_PREFIX}+{time.strftime('%Y-%m-%d+%H-%M-%S')}+{len(self._ckpt_dirs()):02d}"
         path = os.path.join(self.dir, tag)
         os.makedirs(path, exist_ok=True)
-        ckptr = ocp.PyTreeCheckpointer()
+        ckptr = _save_checkpointer()
         for name, tree in trees.items():
             ckptr.save(os.path.join(path, name),
                        jax.tree.map(np.asarray, tree))

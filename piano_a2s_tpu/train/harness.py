@@ -45,8 +45,18 @@ class Trainer:
             lr=exp.lr, rho=float(exp.extras.get("rho", 0.95)),
             eps=float(exp.extras.get("eps", 1e-8)))
         self.opt_state = self.optimizer.init(self.params)
+        # Gradient accumulation: microbatch the train step so its activation
+        # footprint stays bounded — a monolithic full-size backward OOMs HBM
+        # beyond B=8 (ConvStack activations are ~1.9 GB per batch element;
+        # docs/DESIGN.md §7). accum_steps must divide batch_size.
+        self.accum_steps = int(exp.extras.get("accum_steps", 1))
+        if exp.batch_size % max(self.accum_steps, 1):
+            raise ValueError(
+                f"accum_steps={self.accum_steps} must divide "
+                f"batch_size={exp.batch_size}")
         self.train_step, self.eval_step = make_jitted_steps(
-            self.optimizer, self.cfg, mesh=self.mesh)
+            self.optimizer, self.cfg, mesh=self.mesh,
+            accum_steps=self.accum_steps)
         # Length-bucketed train steps: the decode scan length is static, so
         # batches whose longest target is far below the 398/189 caps run a
         # shorter compiled variant (loss/gradient-exact: positions past the
@@ -67,6 +77,12 @@ class Trainer:
         # Multi-host: only process 0 writes checkpoints/results/logs
         # (shared-filesystem safety; all hosts compute identically).
         self.is_main_process = jax.process_index() == 0
+        # Multi-host correctness rests on every host constructing the SAME
+        # global batch (device_put with a global sharding takes each host's
+        # local shards from ITS copy of the array) — same DataLoader seed,
+        # same dataset listing order. Verified cross-host on the first batch
+        # rather than assumed (SURVEY §2.4).
+        self._batch_contract_ok = jax.process_count() == 1
         self.checkpointer = Checkpointer(exp.save_folder)
         self.logger = FileTrainLogger(exp.train_log)
         self.start_epoch = 1
@@ -96,9 +112,33 @@ class Trainer:
         weights = np.zeros(b, np.float32)
         weights[:n_real] = 1.0
         dev["sample_weight"] = weights
+        if not self._batch_contract_ok:
+            self._assert_hosts_agree(dev)
+            self._batch_contract_ok = True
         if self.mesh is not None:
             dev = put_batch(dev, self.mesh)
         return dev
+
+    @staticmethod
+    def _assert_hosts_agree(host_batch: Dict[str, Any]) -> None:
+        """Cross-host collective check that all processes built an identical
+        batch; fails loudly instead of silently training on garbage shards."""
+        import hashlib
+
+        from jax.experimental import multihost_utils
+
+        digest = {}
+        for k in sorted(host_batch):
+            v = np.ascontiguousarray(np.asarray(host_batch[k]))
+            h = hashlib.sha256(v.tobytes()).digest()
+            # uint32 pairs: multihost_utils' broadcast reinterprets wider
+            # dtypes on the CPU (gloo) backend, corrupting the comparison.
+            digest[k] = np.frombuffer(h[:8], np.uint32)
+        multihost_utils.assert_equal(
+            digest,
+            "multi-host batch mismatch: every host must construct the same "
+            "global batch (identical DataLoader seed and dataset listing "
+            "order)")
 
     # ------------------------------------------------------------ checkpoint
 
@@ -160,7 +200,8 @@ class Trainer:
             import dataclasses
             cfg_b = dataclasses.replace(self.cfg, max_length=(bu, bl))
             self._bucket_steps[key] = make_jitted_steps(
-                self.optimizer, cfg_b, mesh=self.mesh)[0]
+                self.optimizer, cfg_b, mesh=self.mesh,
+                accum_steps=self.accum_steps)[0]
         batch = dict(batch)
         batch["upper"] = batch["upper"][:, :, :bu]
         batch["lower"] = batch["lower"][:, :, :bl]

@@ -77,3 +77,61 @@ def transcription_loss_fused(outputs, batch, pad_index: int = 147,
     loss = time_loss + key_loss + upper_loss + lower_loss
     return loss, {"time_loss": time_loss, "key_loss": key_loss,
                   "upper_loss": upper_loss, "lower_loss": lower_loss}
+
+
+# --- gradient-accumulation decomposition ----------------------------------
+#
+# Each component loss is a masked MEAN: -sum(picked*mask) / sum(mask).
+# The denominators depend only on the targets/sample weights, never on the
+# parameters, so the full-batch loss decomposes exactly over microbatches:
+#     loss = sum_c ( sum_m numerator_c(micro_m) ) / total_c(full batch)
+# Microbatch steps therefore accumulate numerators (and their gradients);
+# the division by the GLOBAL totals reproduces the full-batch loss and
+# gradient exactly.
+
+
+def fused_component_sums(outputs, batch, pad_index: int = 147,
+                         sample_weight=None):
+    """Per-component NLL numerators (-sum picked*mask) for one microbatch,
+    from the fused forward's gt-picked log-probs."""
+    ts_logp, key_logp, up_picked, low_picked = outputs[:4]
+    w = sample_weight
+
+    def pick_sum(log_probs, targets):
+        tgt = targets.astype(jnp.int32)
+        picked = jnp.take_along_axis(log_probs, tgt[..., None],
+                                     axis=-1)[..., 0]
+        mask = _weight_mask(jnp.ones_like(picked), w)
+        return -jnp.sum(picked * mask)
+
+    def masked_sum(picked, targets):
+        mask = (targets.astype(jnp.int32) != pad_index).astype(picked.dtype)
+        mask = _weight_mask(mask, w)
+        return -jnp.sum(picked * mask)
+
+    return {"time_loss": pick_sum(ts_logp, batch["time_sig"]),
+            "key_loss": pick_sum(key_logp, batch["key"]),
+            "upper_loss": masked_sum(up_picked, batch["upper"]),
+            "lower_loss": masked_sum(low_picked, batch["lower"])}
+
+
+def component_totals(batch, pad_index: int = 147, sample_weight=None):
+    """Global mask totals (the mean denominators), computed from targets
+    alone — no forward pass needed."""
+    w = sample_weight
+
+    def total(mask):
+        mask = _weight_mask(mask, w)
+        return jnp.maximum(jnp.sum(mask), 1.0)
+
+    ones_bars = jnp.ones(batch["time_sig"].shape, jnp.float32)
+    return {
+        "time_loss": total(ones_bars),
+        "key_loss": total(ones_bars),
+        "upper_loss": total(
+            (batch["upper"].astype(jnp.int32) != pad_index
+             ).astype(jnp.float32)),
+        "lower_loss": total(
+            (batch["lower"].astype(jnp.int32) != pad_index
+             ).astype(jnp.float32)),
+    }

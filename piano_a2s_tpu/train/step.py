@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from ..models.score_transcription import ModelConfig, forward
-from .losses import transcription_loss, transcription_loss_fused
+from .losses import (component_totals, fused_component_sums,
+                     transcription_loss, transcription_loss_fused)
 
 MAX_GRAD_NORM = 5.0
 
@@ -88,6 +89,77 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
     return new_params, new_opt_state, new_state, StepOutput(loss, comps)
 
 
+def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
+                     optimizer: optax.GradientTransformation,
+                     cfg: ModelConfig, accum_steps: int):
+    """Gradient-accumulation train step: the batch is split into
+    `accum_steps` microbatches scanned sequentially, so the compiled
+    program's activation footprint (and the XLA program the remote
+    compile helper must chew) is that of ONE microbatch while the
+    optimizer update uses the full effective batch.
+
+    Exact decomposition: every component loss is a masked mean whose
+    denominator depends only on the targets, so microbatch NUMERATOR
+    gradients sum to the full-batch gradient once divided by the global
+    totals (see losses.component_totals). The only semantic difference
+    from a monolithic step is BatchNorm: train-mode batch statistics are
+    per-microbatch (exactly like DDP replicas of the same size in the
+    reference, which never syncs BN — pretrain.py's sb.Brain default).
+    """
+    sw = batch.get("sample_weight")
+    totals = component_totals(batch, cfg.pad, sample_weight=sw)
+
+    def split(x):
+        return x.reshape((accum_steps, x.shape[0] // accum_steps)
+                         + x.shape[1:])
+
+    micro = {k: split(v) for k, v in batch.items()}
+    rngs = jax.random.split(rng, accum_steps)
+
+    def micro_loss(p, st, mb, key):
+        outs, new_st = forward(
+            p, st, mb["spectrogram"], key, cfg=cfg, train=True,
+            ground_truth=_ground_truth(mb), tf_ratio=tf_ratio,
+            emit_full=False)
+        nums = fused_component_sums(outs, mb, cfg.pad,
+                                    sample_weight=mb.get("sample_weight"))
+        loss_mb = sum(nums[k] / totals[k] for k in sorted(nums))
+        return loss_mb, (nums, new_st)
+
+    def body(carry, xs):
+        grads_acc, nums_acc, st = carry
+        mb, key = xs
+        (_, (nums, new_st)), grads = jax.value_and_grad(
+            micro_loss, has_aux=True)(params, st, mb, key)
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        nums_acc = jax.tree.map(jnp.add, nums_acc, nums)
+        return (grads_acc, nums_acc, new_st), None
+
+    zeros_grads = jax.tree.map(jnp.zeros_like, params)
+    zeros_nums = {k: jnp.zeros((), jnp.float32)
+                  for k in ("time_loss", "key_loss", "upper_loss",
+                            "lower_loss")}
+    (grads, nums, new_state), _ = jax.lax.scan(
+        body, (zeros_grads, zeros_nums, state), (micro, rngs))
+
+    comps = {k: nums[k] / totals[k] for k in nums}
+    loss = sum(comps.values())
+
+    gnorm = optax.global_norm(grads)
+    finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+    scale = jnp.where(gnorm > MAX_GRAD_NORM, MAX_GRAD_NORM / gnorm, 1.0)
+    grads = jax.tree.map(lambda g: g * scale, grads)
+
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    pick = lambda new, old: jax.tree.map(  # noqa: E731
+        lambda a, b: jnp.where(finite, a, b), new, old)
+    new_params = pick(new_params, params)
+    new_opt_state = pick(new_opt_state, opt_state)
+    new_state = pick(new_state, state)
+    return new_params, new_opt_state, new_state, StepOutput(loss, comps)
+
+
 def eval_step(params, state, batch, cfg: ModelConfig):
     """Free-running inference + loss of inference outputs vs targets
     (reference: pretrain.py:131-136 — eval loss is computed on the
@@ -110,12 +182,18 @@ def eval_step(params, state, batch, cfg: ModelConfig):
 
 
 def make_jitted_steps(optimizer: optax.GradientTransformation,
-                      cfg: ModelConfig, mesh=None):
+                      cfg: ModelConfig, mesh=None, accum_steps: int = 1):
     """Compile the steps. With a mesh, batches are sharded along the leading
     (batch) axis of the `data` mesh axis and params/opt/state are replicated;
     XLA inserts the gradient all-reduce (psum over ICI) automatically.
+    accum_steps>1 scans over that many microbatches per update
+    (train_step_accum) — the batch's leading axis must be divisible by it.
     """
-    t_step = partial(train_step, optimizer=optimizer, cfg=cfg)
+    if accum_steps > 1:
+        t_step = partial(train_step_accum, optimizer=optimizer, cfg=cfg,
+                         accum_steps=accum_steps)
+    else:
+        t_step = partial(train_step, optimizer=optimizer, cfg=cfg)
     e_step = partial(eval_step, cfg=cfg)
     if mesh is None:
         return (jax.jit(t_step, donate_argnums=(0, 1, 2)),

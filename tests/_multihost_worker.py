@@ -1,0 +1,90 @@
+"""Subprocess worker for the multi-host (multi-process) training test.
+
+Launched by tests/test_multihost.py: 2 processes x 4 virtual CPU devices
+form one 8-device global mesh over DCN, exercising the process>1 paths in
+the Trainer (process-0 gating of checkpoints/results/log, global-sharded
+device_put of host-replicated batches, cross-host batch-contract check).
+
+Usage: python _multihost_worker.py <process_id> <num_processes> <port>
+           <workdir> <mode>
+  mode "train":    fit 1 epoch on the shared fixture; dump stats JSON.
+  mode "mismatch": draw per-process DIFFERENT batches; the harness's
+                   cross-host batch assertion must fail.
+"""
+
+import json
+import os
+import sys
+
+process_id = int(sys.argv[1])
+num_processes = int(sys.argv[2])
+port = sys.argv[3]
+workdir = sys.argv[4]
+mode = sys.argv[5]
+
+# 4 virtual CPU devices per process (before any jax import; strip an
+# inherited device-count flag so the parent's 8 doesn't leak in).
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+_flags.append("--xla_force_host_platform_device_count=4")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=num_processes,
+                           process_id=process_id)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from piano_a2s_tpu.config import ExperimentConfig  # noqa: E402
+from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,  # noqa: E402
+                                SyntheticTrainDataset)
+from piano_a2s_tpu.train.harness import Trainer  # noqa: E402
+
+assert jax.process_count() == num_processes
+assert len(jax.devices()) == 4 * num_processes
+
+features = os.path.join(workdir, "features")
+out = os.path.join(workdir, "out")
+exp = ExperimentConfig(
+    seed=7, workspace=workdir, output_folder=out, feature_folder=features,
+    save_folder=os.path.join(out, "save"),
+    train_log=os.path.join(out, "train_log.txt"),
+    max_length=(8, 6), max_bars=2, max_duration=1, frames_per_second=23,
+    bins_per_octave=4, n_octaves=4, number_of_epochs=1, batch_size=8,
+    conv_feature_size=16, hidden_size=16, note_emb_size=8, staff_emb_size=8)
+
+train_ds = SyntheticTrainDataset(
+    features, "train", versions=[0], max_frame_num=exp.max_frame_num,
+    max_length=exp.max_length, rng=np.random.RandomState(0))
+valid_ds = SyntheticTestDataset(
+    features, "valid", versions=[0], max_frame_num=exp.max_frame_num,
+    max_length=exp.max_length)
+
+# All hosts must draw identical batches: same loader seed everywhere —
+# except in "mismatch" mode, which deliberately violates the contract.
+loader_seed = process_id if mode == "mismatch" else 0
+train_loader = DataLoader(train_ds, exp.batch_size, shuffle=True,
+                          seed=loader_seed)
+valid_loader = DataLoader(valid_ds, exp.batch_size)
+
+trainer = Trainer(exp, use_mesh=True)
+assert trainer.mesh.devices.size == 4 * num_processes
+trainer.fit(train_loader, valid_loader)
+
+params_host = jax.device_get(trainer.params)
+param_sum = float(sum(np.float64(np.asarray(p)).sum()
+                      for p in jax.tree.leaves(params_host)))
+stats = {"train_loss": trainer.train_stats["loss"],
+         "param_sum": param_sum,
+         "is_main": trainer.is_main_process}
+with open(os.path.join(workdir, f"stats_{process_id}.json"), "w") as f:
+    json.dump(stats, f)
+print(f"[proc {process_id}] done: {stats}", flush=True)
