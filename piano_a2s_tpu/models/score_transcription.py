@@ -163,10 +163,43 @@ def init_state(cfg: ModelConfig = ModelConfig()) -> Dict[str, Any]:
 
 def conv_stack_apply(params, state, x: jnp.ndarray, train: bool,
                      rng) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    """x: (B, 1, T, F) -> (B, T, conv_feature_size). NHWC internally."""
+    """x: (B, 1, T, F) -> (B, T, conv_feature_size). NHWC internally.
+
+    Inference folds each BatchNorm (running stats = a per-channel affine)
+    into the preceding conv's weights / the flatten linear's weights:
+    y = relu(conv(x, w*g) + (beta - mean*g)) with g = scale*rsqrt(var+eps).
+    Exact algebraic rewrite; removes a full elementwise pass (and its XLA
+    layout copy) over the ~GB conv activation tensors per layer."""
     p, s = params, state
     y = jnp.transpose(x, (0, 2, 3, 1))  # NHWC
     new_s = {}
+    if not train:
+        # Folding happens in >=f32 precision; the folded weights/bias are
+        # then cast to the activation dtype (bf16 on the reduced-precision
+        # serving path; f32/f64 pass through unchanged).
+        dt = y.dtype
+        fdt = jnp.promote_types(dt, jnp.float32)
+        for i in (1, 2, 3, 4):
+            bn_p, bn_s = p[f"bn{i}"], s[f"bn{i}"]
+            g = (bn_p["scale"].astype(fdt)
+                 * jax.lax.rsqrt(bn_s["var"].astype(fdt) + L.BN_EPS))
+            w = p[f"conv{i}"]["w"].astype(fdt) * g
+            bias = bn_p["bias"].astype(fdt) - bn_s["mean"].astype(fdt) * g
+            y = jax.nn.relu(L.conv2d_same({"w": w.astype(dt)}, y)
+                            + bias.astype(dt))
+            new_s[f"bn{i}"] = bn_s
+        b, t, f, c = y.shape
+        y = y.reshape(b, t, f * c)
+        bn_p, bn_s = p["out_bn"], s["out_bn"]
+        g = (bn_p["scale"].astype(fdt)
+             * jax.lax.rsqrt(bn_s["var"].astype(fdt) + L.BN_EPS))
+        w = p["out"]["w"].astype(fdt) * g
+        bias = bn_p["bias"].astype(fdt) - bn_s["mean"].astype(fdt) * g
+        if p["out"].get("b") is not None:
+            bias = bias + p["out"]["b"].astype(fdt) * g
+        y = jax.nn.relu(y @ w.astype(dt) + bias.astype(dt))
+        new_s["out_bn"] = bn_s
+        return y, new_s
     for i, ch in zip((1, 2, 3, 4), (20, 20, 40, 40)):
         y = L.conv2d_same(p[f"conv{i}"], y)
         y, new_s[f"bn{i}"] = L.batch_norm(p[f"bn{i}"], s[f"bn{i}"], y,
@@ -596,8 +629,20 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
     distributions — see hierarchical_decoder_apply.
     """
     k_conv, k_dec = jax.random.split(rng)
+    conv_x = spectrogram
+    if decode_dtype is not None and not train:
+        # Reduced-precision serving also runs the conv frontend in
+        # decode_dtype: XLA already converts conv INPUTS to bf16 on the MXU
+        # (f32 "convs" multiply in bf16 under allow_excess_precision), so
+        # storing the ~GB conv activations in bf16 halves their HBM traffic
+        # and layout-copy cost without changing the multiply precision.
+        # Full f32 resumes at the encoder input.
+        conv_x = spectrogram.astype(decode_dtype)
     feats, new_conv_state = conv_stack_apply(
-        params["convstack"], state["convstack"], spectrogram, train, k_conv)
+        params["convstack"], state["convstack"], conv_x, train, k_conv)
+    # bf16 frontend output promotes back to f32 for the encoder; f32/f64
+    # pass through unchanged (x64 parity runs stay f64).
+    feats = feats.astype(jnp.promote_types(feats.dtype, jnp.float32))
     enc, hidden = encoder_apply(params["encoder"], feats)
     ts, key, up, low, aux = hierarchical_decoder_apply(
         params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec,
