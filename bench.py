@@ -139,12 +139,20 @@ def measure_train(batch_size: int, max_length=None,
     # device_get, not block_until_ready: the axon tunnel platform does not
     # block on the latter, which would fake the timings.
     jax.device_get(out.loss)
+    # Steps are chained through (params, opt_state, state), so dispatching
+    # N steps and syncing ONCE measures the pipelined throughput the
+    # Trainer actually achieves (it keeps losses on device); a per-step
+    # device_get would add a full tunnel round-trip (~160 ms) to every
+    # step.
+    n = max(3, ITERS)
     times = []
-    for i in range(max(3, ITERS)):
+    for _ in range(2):
         t0 = time.time()
-        p, o, s, out = t_step(p, o, s, batch, jax.random.PRNGKey(1 + i), 0.7)
+        for i in range(n):
+            p, o, s, out = t_step(p, o, s, batch,
+                                  jax.random.PRNGKey(1 + i), 0.7)
         jax.device_get(out.loss)
-        times.append(time.time() - t0)
+        times.append((time.time() - t0) / n)
     return b / min(times)
 
 
