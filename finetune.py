@@ -23,7 +23,14 @@ def main(argv=None):
     parser.add_argument("hparams")
     parser.add_argument("overrides", nargs="*")
     parser.add_argument("--data-parallel", action="store_true")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. 'cpu'; the TPU "
+                             "plugin ignores the JAX_PLATFORMS env var)")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from piano_a2s_tpu.config import load_experiment
     from piano_a2s_tpu.data import ASAPDataset, DataLoader

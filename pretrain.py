@@ -32,8 +32,15 @@ def main(argv=None):
                         help="capture an XLA trace of the first steps to "
                              "<output_folder>/profile and log per-step "
                              "timing (adds a device sync per step)")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. 'cpu' for a "
+                             "hardware-free run; the TPU plugin ignores "
+                             "the JAX_PLATFORMS env var)")
     args = parser.parse_args(argv)
 
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if args.multihost:
         import jax
         jax.distributed.initialize()

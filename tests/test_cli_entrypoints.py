@@ -1,0 +1,143 @@
+"""CLI entry-point smoke tests: the actual `python pretrain.py <yaml>
+key=value ...` / `python finetune.py <yaml>` surface (argument parsing,
+config interpolation + overrides, dataset wiring, warm-start import) on a
+tiny fixture dataset — the reference's CLI contract end-to-end
+(reference: README.md:116-132)."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+
+from conftest import REPO_ROOT
+from test_harness_e2e import _make_fixture
+
+N_FRAMES = 24
+N_BINS = 16
+
+TINY_YAML = """\
+seed: 7
+midi_syn: score
+workspace: {root}
+output_folder: {root}/out_pre
+feature_folder: {root}/features
+save_folder: {root}/out_pre/save
+train_log: {root}/out_pre/train_log.txt
+max_length: [8, 6]
+max_bars: 2
+max_duration: 1
+frames_per_second: 23
+bins_per_octave: 4
+n_octaves: 4
+number_of_epochs: 2
+batch_size: 2
+conv_feature_size: 16
+hidden_size: 16
+note_emb_size: 8
+staff_emb_size: 8
+train_versions: 1
+"""
+
+FINETUNE_YAML = """\
+seed: 7
+midi_syn: score
+workspace: {root}
+output_folder: {root}/out_fin
+feature_folder: {root}/asap_features
+save_folder: {root}/out_fin/save
+train_log: {root}/out_fin/train_log.txt
+pretrained_output_folder: {root}/out_pre
+max_length: [8, 6]
+max_bars: 2
+max_duration: 1
+frames_per_second: 23
+bins_per_octave: 4
+n_octaves: 4
+number_of_epochs: 1
+batch_size: 2
+teacher_forcing_ratio: 0.6
+teacher_forcing_decay: 1.0
+conv_feature_size: 16
+hidden_size: 16
+note_emb_size: 8
+staff_emb_size: 8
+"""
+
+
+def _make_asap_fixture(root, split, n_songs=2, seed=0):
+    """ASAP layout: {split}/{spectrogram,target,info} with no version dir."""
+    rng = np.random.RandomState(seed)
+    base = os.path.join(root, split)
+    for sub in ("spectrogram", "target", "info"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    for s in range(n_songs):
+        name = f"perf{s}_0"
+        spec = rng.rand(N_FRAMES - 2, N_BINS).astype(np.float32)
+        np.save(os.path.join(base, "spectrogram", f"{name}.npy"), spec)
+        target = []
+        for _ in range(2):
+            key = int(rng.randint(-6, 8))
+            ts = ["4/4", "3/4"][rng.randint(2)]
+            lower = rng.randint(0, 140, rng.randint(2, 5)).tolist()
+            upper = rng.randint(0, 140, rng.randint(2, 6)).tolist()
+            target.append([key, ts, lower, upper])
+        with open(os.path.join(base, "target", f"{name}.pkl"), "wb") as f:
+            pickle.dump(target, f)
+        with open(os.path.join(base, "info", f"{name}.json"), "w") as f:
+            json.dump({"composer": "Bach"}, f)
+
+
+def _run(script, yaml_path, *extra):
+    # --platform cpu keeps the smoke test off the (single-client) TPU
+    # tunnel; the TPU plugin ignores the JAX_PLATFORMS env var.
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, script), yaml_path,
+         "--platform", "cpu", *extra],
+        capture_output=True, text=True, timeout=480, cwd=REPO_ROOT)
+
+
+def test_pretrain_then_finetune_cli(tmp_path):
+    root = str(tmp_path)
+    features = os.path.join(root, "features")
+    _make_fixture(features, "train", 0)
+    _make_fixture(features, "valid", 0, n_songs=2, seed=1)
+    _make_fixture(features, "test", 0, n_songs=2, seed=2)
+    _make_asap_fixture(os.path.join(root, "asap_features"), "train")
+    _make_asap_fixture(os.path.join(root, "asap_features"), "test", seed=3)
+
+    pre_yaml = str(tmp_path / "pretrain.yaml")
+    with open(pre_yaml, "w") as f:
+        f.write(TINY_YAML.format(root=root))
+
+    # CLI override surface: dotted key=value args (epochs 2 -> 1).
+    r = _run("pretrain.py", pre_yaml, "number_of_epochs=1")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WER" in r.stdout  # final test stats printed
+    out_pre = os.path.join(root, "out_pre")
+    assert os.path.exists(os.path.join(out_pre, "train_log.txt"))
+    log = open(os.path.join(out_pre, "train_log.txt")).read()
+    assert "epoch: 1" in log and "epoch: 2" not in log  # override applied
+    ckpts = [d for d in os.listdir(os.path.join(out_pre, "save"))
+             if d.startswith("CKPT")]
+    assert len(ckpts) == 1
+    assert os.listdir(os.path.join(out_pre, "results", "test"))
+
+    fin_yaml = str(tmp_path / "finetune.yaml")
+    with open(fin_yaml, "w") as f:
+        f.write(FINETUNE_YAML.format(root=root))
+
+    r = _run("finetune.py", fin_yaml)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WARNING: no pretrained" not in r.stdout  # warm start found
+    out_fin = os.path.join(root, "out_fin")
+    log = open(os.path.join(out_fin, "train_log.txt")).read()
+    assert "epoch: 1" in log
+    # warm-start import + the finetune epoch ran -> checkpoints exist and
+    # result records were written for the ASAP test split
+    assert [d for d in os.listdir(os.path.join(out_fin, "save"))
+            if d.startswith("CKPT")]
+    results = os.listdir(os.path.join(out_fin, "results", "test"))
+    assert results and all(r_.startswith("asap~") for r_ in results)
