@@ -51,6 +51,9 @@ def measure_ours(decode_dtype=None, eos_bias: float = 0.0) -> float:
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from piano_a2s_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from piano_a2s_tpu.models import ModelConfig, init_params, init_state
     from piano_a2s_tpu.models.score_transcription import forward
     from piano_a2s_tpu.ops.vqt import VQTConfig, build_kernels, get_vqt
@@ -112,6 +115,9 @@ def measure_train(batch_size: int, max_length=None,
     import jax
     from piano_a2s_tpu.models import ModelConfig, init_params, init_state
     from piano_a2s_tpu.train.step import make_jitted_steps, make_optimizer
+    from piano_a2s_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     cfg = ModelConfig()
     if max_length is not None:

@@ -35,6 +35,9 @@ def main(argv=None):
     from piano_a2s_tpu.config import load_experiment
     from piano_a2s_tpu.data import ASAPDataset, DataLoader
     from piano_a2s_tpu.train.harness import Trainer
+    from piano_a2s_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     exp = load_experiment(args.hparams, args.overrides)
     os.makedirs(exp.output_folder, exist_ok=True)

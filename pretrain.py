@@ -49,6 +49,9 @@ def main(argv=None):
     from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,
                                     SyntheticTrainDataset)
     from piano_a2s_tpu.train.harness import Trainer
+    from piano_a2s_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     exp = load_experiment(args.hparams, args.overrides)
     if args.profile:

@@ -24,6 +24,13 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Persistent compilation cache (CPU compiles too): cuts repeat suite runs
+# substantially. Must go through jax.config — the env var alone is ignored
+# (see piano_a2s_tpu/utils/cache.py).
+from piano_a2s_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.path.join(REPO_ROOT, ".jax_cache"))
+
 
 def reference_modules():
     """Import the PyTorch reference (read-only, for parity goldens).

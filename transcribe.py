@@ -33,6 +33,9 @@ def main(argv=None):
 
     from piano_a2s_tpu.infer import load_transcriber, result_to_files
     from piano_a2s_tpu.utils.audio import read_wav, resample
+    from piano_a2s_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     decode_dtype = None
     if args.bf16:
