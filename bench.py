@@ -15,6 +15,8 @@ round-over-round (clips/s unless noted):
   bf16_full_length        decode_dtype=bfloat16, same worst-case decode
   early_exit_eos_biased   f32, EOS-biased head: realistic bars stop at EOS
                           instead of the 398/189-step caps
+  serving_bf16_early_exit bf16 + EOS-biased early exit combined — the
+                          recommended serving configuration
   train_b4_bucket64       full-size train step (fwd+bwd+Adadelta), B=4,
                           length-bucketed decode scans (the real training
                           config for ~40-token bars)
@@ -217,6 +219,8 @@ def main():
             measure_ours(decode_dtype=jnp.bfloat16), 2)
         configs["early_exit_eos_biased"] = round(
             measure_ours(eos_bias=4.0), 2)
+        configs["serving_bf16_early_exit"] = round(
+            measure_ours(decode_dtype=jnp.bfloat16, eos_bias=4.0), 2)
         configs["train_b4_bucket64"] = round(
             measure_train(4, max_length=(64, 64)), 2)
         configs["train_b8_full"] = round(measure_train(8), 2)

@@ -49,13 +49,18 @@ def main(argv=None):
     trainer = Trainer(exp, use_mesh=args.data_parallel)
     pretrained_save = os.path.join(exp.pretrained_output_folder, "save")
     if not trainer.checkpointer.latest_path():
+        # Multi-host: only process 0 copies the warm-start checkpoints
+        # (concurrent copytree/rmtree to the same dst would race); the
+        # barrier makes the import visible before any host's try_resume.
         if os.path.isdir(pretrained_save):
-            trainer.checkpointer.import_from(
-                pretrained_save, reset_meta={"WER": 100},
-                reset_host_state={"epoch": 0, "global_step": 0})
+            if trainer.is_main_process:
+                trainer.checkpointer.import_from(
+                    pretrained_save, reset_meta={"WER": 100},
+                    reset_host_state={"epoch": 0, "global_step": 0})
         else:
             print(f"WARNING: no pretrained checkpoints at "
                   f"{pretrained_save!r} — finetuning from RANDOM weights")
+    trainer.barrier("finetune:after-warmstart-import")
 
     train_ds = ASAPDataset(exp.feature_folder, "train",
                            max_frame_num=exp.max_frame_num,

@@ -45,7 +45,16 @@ def find_virtuosonet(explicit: Optional[str] = None,
     <workspace>/virtuosoNet. A directory qualifies when it contains
     ``model_run.py`` (the module the reference imports).
     """
-    candidates = [explicit, os.environ.get("VIRTUOSONET_PATH"),
+    if explicit:
+        # An explicit path is authoritative: falling back to some other
+        # checkout on a typo would silently render the dataset with the
+        # wrong weights/version.
+        if os.path.isfile(os.path.join(explicit, "model_run.py")):
+            return os.path.abspath(explicit)
+        raise RuntimeError(
+            f"virtuosonet_path={explicit!r} is not a virtuosoNet checkout "
+            "(no model_run.py there)")
+    candidates = [os.environ.get("VIRTUOSONET_PATH"),
                   os.path.join(os.getcwd(), "virtuosoNet")]
     if workspace:
         candidates.append(os.path.join(workspace, "virtuosoNet"))
@@ -58,15 +67,21 @@ def find_virtuosonet(explicit: Optional[str] = None,
 @contextlib.contextmanager
 def _inside(root: str):
     """chdir into the checkout (virtuosoNet resolves weights/temp files
-    relative to its own directory) with the cwd restored afterwards."""
+    relative to its own directory), with cwd AND sys.path restored
+    afterwards — a leaked sys.path[0] entry would shadow later bare
+    imports with the checkout's generically-named modules."""
     prev = os.getcwd()
     os.chdir(root)
-    if root not in sys.path:
+    added = root not in sys.path
+    if added:
         sys.path.insert(0, root)
     try:
         yield
     finally:
         os.chdir(prev)
+        if added:
+            with contextlib.suppress(ValueError):
+                sys.path.remove(root)
 
 
 def make_epr_generator(root: Optional[str] = None,

@@ -189,10 +189,18 @@ def vqt_host(y: np.ndarray, cfg: VQTConfig = VQTConfig()) -> np.ndarray:
     return np.sqrt(re ** 2 + im ** 2)
 
 
-def get_vqt_host(y: np.ndarray, cfg: VQTConfig = VQTConfig(),
-                 amin: float = 1e-5, top_db: float = 80.0) -> np.ndarray:
-    mag = vqt_host(y, cfg)
+def log_compress_host(mag: np.ndarray, amin: float = 1e-5,
+                      top_db: float = 80.0) -> np.ndarray:
+    """Host twin of the on-device log compression (db/top_db + 1, ref=max;
+    reference: utilities.py:253). Shared by the direct-form host path and
+    the librosa-algorithm oracle so the comparison differs only in the
+    transform itself."""
     power = np.maximum(mag, amin) ** 2
     db = 10.0 * (np.log10(power) - np.log10(power.max()))
     db = np.maximum(db, db.max() - top_db)
     return (db / top_db + 1.0).astype(np.float32)
+
+
+def get_vqt_host(y: np.ndarray, cfg: VQTConfig = VQTConfig(),
+                 amin: float = 1e-5, top_db: float = 80.0) -> np.ndarray:
+    return log_compress_host(vqt_host(y, cfg), amin, top_db)

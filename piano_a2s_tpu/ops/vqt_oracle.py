@@ -67,12 +67,17 @@ def _wavelet_bank(freqs: np.ndarray, sr: float, filter_scale: float,
         sig /= np.sum(np.abs(sig))  # L1 norm
         kernels.append(sig)
     max_len = max(len(k) for k in kernels)
-    n_fft = int(2.0 ** np.ceil(np.log2(max_len)))
+    # librosa order of operations matters for frame alignment: wavelet()
+    # center-pads each kernel within pow2(max_len) (pad_fft=True), and
+    # THEN __vqt_filter_fft's fft(basis, n=n_fft) zero-extends at the END
+    # when the two-hop bound pushes n_fft beyond pow2(max_len). Centering
+    # directly in n_fft would time-shift every filter by (n_fft - p2)/2.
+    p2 = int(2.0 ** np.ceil(np.log2(max_len)))
     # librosa __vqt_filter_fft: the FFT must cover at least two hops.
-    n_fft = max(n_fft, int(2.0 ** (1 + np.ceil(np.log2(hop)))))
+    n_fft = max(p2, int(2.0 ** (1 + np.ceil(np.log2(hop)))))
     bank = np.zeros((len(kernels), n_fft), complex)
     for i, k in enumerate(kernels):
-        start = (n_fft - len(k)) // 2
+        start = (p2 - len(k)) // 2
         bank[i, start:start + len(k)] = k
     return bank, n_fft, lengths
 
@@ -154,8 +159,6 @@ def get_vqt_librosa_host(y: np.ndarray, cfg: VQTConfig = VQTConfig(),
                          top_db: float = 80.0) -> np.ndarray:
     """Oracle counterpart of ops.vqt.get_vqt_host: log-compressed
     ``db/80 + 1`` spectrogram in [0, 1] (reference: utilities.py:253)."""
-    mag = vqt_librosa_host(y, cfg)
-    power = np.maximum(mag, amin) ** 2
-    db = 10.0 * (np.log10(power) - np.log10(power.max()))
-    db = np.maximum(db, db.max() - top_db)
-    return (db / top_db + 1.0).astype(np.float32)
+    from .vqt import log_compress_host
+
+    return log_compress_host(vqt_librosa_host(y, cfg), amin, top_db)

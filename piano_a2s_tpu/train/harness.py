@@ -120,6 +120,15 @@ class Trainer:
         return dev
 
     @staticmethod
+    def barrier(tag: str) -> None:
+        """Cross-process rendezvous (no-op single-process). Used wherever
+        non-main processes must not read checkpoint state that process 0
+        may still be writing/deleting."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(tag)
+
+    @staticmethod
     def _assert_hosts_agree(host_batch: Dict[str, Any]) -> None:
         """Cross-host collective check that all processes built an identical
         batch; fails loudly instead of silently training on garbage shards."""
@@ -218,6 +227,8 @@ class Trainer:
                                        self.exp.teacher_forcing_decay, epoch)
             t0 = time.time()
             losses, comps_hist = [], []
+            epoch_mark = (self.step_timer.mark()
+                          if self.step_timer is not None else None)
 
             def one_step(batch):
                 self.rng, step_key = jax.random.split(self.rng)
@@ -271,7 +282,10 @@ class Trainer:
                 stats_meta = {"epoch": epoch, "lr": old_lr,
                               "epoch_time": round(time.time() - t0, 1)}
                 if self.step_timer is not None:
-                    summ = self.step_timer.summary().get("train_step")
+                    # THIS epoch's mean only — a cumulative mean would
+                    # stay contaminated by epoch 1's compiles forever.
+                    summ = self.step_timer.summary(
+                        since=epoch_mark).get("train_step")
                     if summ:
                         stats_meta["step_ms"] = round(
                             summ["mean_s"] * 1e3, 2)
@@ -289,6 +303,11 @@ class Trainer:
     # ------------------------------------------------------------- evaluate
 
     def evaluate(self, test_loader, min_key: str = "WER"):
+        # Multi-host: wait for process 0's final save_and_keep_only (write
+        # + delete of non-best checkpoints) before any host reads
+        # best_path — otherwise hosts can restore different (or vanishing)
+        # checkpoints into one global mesh.
+        self.barrier("evaluate:before-restore")
         path = self.checkpointer.best_path(min_key)
         if path is not None:
             self.restore(path)

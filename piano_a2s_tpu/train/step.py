@@ -136,7 +136,11 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
         return (grads_acc, nums_acc, new_st), None
 
     zeros_grads = jax.tree.map(jnp.zeros_like, params)
-    zeros_nums = {k: jnp.zeros((), jnp.float32)
+    # Numerator dtype follows the compute dtype (f64 under jax x64) — a
+    # hard-coded f32 carry would fail scan's carry-type check there.
+    num_dt = jnp.result_type(batch["spectrogram"].dtype,
+                             jax.tree.leaves(params)[0].dtype, jnp.float32)
+    zeros_nums = {k: jnp.zeros((), num_dt)
                   for k in ("time_loss", "key_loss", "upper_loss",
                             "lower_loss")}
     (grads, nums, new_state), _ = jax.lax.scan(

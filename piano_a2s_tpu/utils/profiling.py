@@ -56,9 +56,17 @@ class StepTimer:
         self.durations.setdefault(name, []).append(
             time.perf_counter() - t0)
 
-    def summary(self) -> Dict[str, Dict[str, float]]:
+    def summary(self, since: Optional[Dict[str, int]] = None
+                ) -> Dict[str, Dict[str, float]]:
+        """Stats over all recorded durations, or — with `since` (a mark
+        from .mark()) — only those recorded after the mark (e.g. one
+        epoch's steps, uncontaminated by earlier compile-heavy epochs)."""
         out = {}
         for name, vals in self.durations.items():
+            if since is not None:
+                vals = vals[since.get(name, 0):]
+            if not vals:
+                continue
             n = len(vals)
             out[name] = {
                 "count": n,
@@ -68,3 +76,7 @@ class StepTimer:
                 "total_s": sum(vals),
             }
         return out
+
+    def mark(self) -> Dict[str, int]:
+        """Position marker for summary(since=...)."""
+        return {name: len(vals) for name, vals in self.durations.items()}

@@ -22,26 +22,22 @@ port = sys.argv[3]
 workdir = sys.argv[4]
 mode = sys.argv[5]
 
-# 4 virtual CPU devices per process (before any jax import; strip an
-# inherited device-count flag so the parent's 8 doesn't leak in).
-_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-          if "xla_force_host_platform_device_count" not in f]
-_flags.append("--xla_force_host_platform_device_count=4")
-os.environ["XLA_FLAGS"] = " ".join(_flags)
-os.environ["JAX_PLATFORMS"] = "cpu"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# 4 virtual CPU devices per process (replaces the parent's inherited
+# device-count flag; shared helper).
+from piano_a2s_tpu.utils.platform import force_virtual_cpu_devices  # noqa: E402
+
+force_virtual_cpu_devices(4)
 
 import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=num_processes,
                            process_id=process_id)
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
 
 from piano_a2s_tpu.config import ExperimentConfig  # noqa: E402
 from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,  # noqa: E402

@@ -10,19 +10,15 @@ test imports jax transitively.
 import os
 import sys
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+from piano_a2s_tpu.utils.platform import force_virtual_cpu_devices  # noqa: E402
+
+force_virtual_cpu_devices(8)
+
+import jax  # noqa: E402
 
 # Persistent compilation cache (CPU compiles too): cuts repeat suite runs
 # substantially. Must go through jax.config — the env var alone is ignored

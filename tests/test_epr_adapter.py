@@ -42,8 +42,11 @@ def fake_checkout(tmp_path):
 
 def test_discovery_order(fake_checkout, tmp_path, monkeypatch):
     assert find_virtuosonet(fake_checkout) == fake_checkout
-    assert find_virtuosonet(str(tmp_path / "nope")) is None
+    # An explicit-but-wrong path is authoritative: it must raise, never
+    # fall back to some other checkout lying around.
     monkeypatch.setenv("VIRTUOSONET_PATH", fake_checkout)
+    with pytest.raises(RuntimeError):
+        find_virtuosonet(str(tmp_path / "nope"))
     assert find_virtuosonet() == fake_checkout
     monkeypatch.delenv("VIRTUOSONET_PATH")
     assert find_virtuosonet(workspace=str(tmp_path)) == fake_checkout
@@ -51,7 +54,7 @@ def test_discovery_order(fake_checkout, tmp_path, monkeypatch):
 
 def test_missing_checkout_fails_fast_with_instructions(tmp_path):
     with pytest.raises(RuntimeError) as e:
-        make_epr_generator(str(tmp_path / "absent"))
+        make_epr_generator(workspace=str(tmp_path / "absent"))
     msg = str(e.value)
     assert "virtuosoNet" in msg and "midi_syn='score'" in msg
 
@@ -64,6 +67,8 @@ def test_generate_contract(fake_checkout, tmp_path):
     gen = make_epr_generator(fake_checkout)
     out = gen(str(xml), "Chopin")
     assert os.getcwd() == cwd_before  # cwd restored
+    import sys as _sys
+    assert fake_checkout not in _sys.path  # no sys.path leak
     assert out == os.path.join(fake_checkout, "test_result",
                                "epr_by_isgn_z0.mid")
     assert open(out).read() == "MIDI:Chopin"

@@ -249,6 +249,28 @@ def test_harness_accum_extras(tmp_path):
         Trainer(exp)
 
 
+def test_accum_step_under_x64():
+    """Regression: the scan carry for the numerator accumulators must
+    follow the compute dtype — a hard-coded f32 carry fails scan's
+    carry-type check under jax x64 (the configuration every parity test
+    uses)."""
+    with jax.enable_x64(True):
+        batch = _batch()
+        batch["spectrogram"] = batch["spectrogram"].astype(np.float64)
+        params = jax.tree.map(lambda a: a.astype(jnp.float64)
+                              if a.dtype == jnp.float32 else a,
+                              init_params(jax.random.PRNGKey(0), CFG))
+        state = jax.tree.map(lambda a: a.astype(jnp.float64)
+                             if a.dtype == jnp.float32 else a,
+                             init_state(CFG))
+        opt = make_optimizer(lr=1.0)
+        p, o, s, out = train_step_accum(
+            params, opt.init(params), state, batch, jax.random.PRNGKey(0),
+            0.7, optimizer=opt, cfg=CFG, accum_steps=2)
+        assert out.loss.dtype == jnp.float64
+        assert np.isfinite(float(out.loss))
+
+
 def test_accum_bucketed_config():
     """Bucketed configs compose with accumulation (different max_length)."""
     cfg_b = dataclasses.replace(CFG, max_length=(6, 4))
