@@ -70,6 +70,12 @@ def main():
                          "(default: CKPT.yaml's, else 100)")
     args = ap.parse_args()
 
+    # Conversion is pure host work; run on the CPU platform so the tool
+    # never touches (or waits minutes for) the single-client TPU tunnel.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from piano_a2s_tpu.config import load_experiment
     from piano_a2s_tpu.models.convert import load_torch_checkpoint
     from piano_a2s_tpu.train.checkpoint import Checkpointer
