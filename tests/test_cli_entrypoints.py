@@ -141,3 +141,12 @@ def test_pretrain_then_finetune_cli(tmp_path):
             if d.startswith("CKPT")]
     results = os.listdir(os.path.join(out_fin, "results", "test"))
     assert results and all(r_.startswith("asap~") for r_ in results)
+
+    # evaluate.py (offline summaries; host-only, no jax): WER/F1 works
+    # without Java/MV2H and the MV2H absence is reported, not fatal.
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"), fin_yaml],
+        capture_output=True, text=True, timeout=240, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WER/F1 over" in r.stdout
+    assert "skipping MV2H" in r.stdout
