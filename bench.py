@@ -43,9 +43,10 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 # can take minutes; repeat runs hit the cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
-# B=32 beats B=16 by ~18% on v5e (64 vs 54 clips/s measured; B=64 regresses
-# to 56 — HBM working-set growth outpaces the batching win beyond 32).
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+# Batch sweep (interleaved A/B, depth-3 pipeline): 16 < 32 < 48 (~+7%
+# at 48 vs 32: 83-87 vs 78-82 clips/s); 64 was inconclusive under tunnel
+# drift and risks HBM pressure (5.9 GB per conv activation buffer).
+BATCH = int(os.environ.get("BENCH_BATCH", "48"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
 
