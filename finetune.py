@@ -48,15 +48,16 @@ def main(argv=None):
 
     trainer = Trainer(exp, use_mesh=args.data_parallel)
     pretrained_save = os.path.join(exp.pretrained_output_folder, "save")
-    if not trainer.checkpointer.latest_path():
-        # Multi-host: only process 0 copies the warm-start checkpoints
-        # (concurrent copytree/rmtree to the same dst would race); the
-        # barrier makes the import visible before any host's try_resume.
+    # Multi-host: the warm-start decision AND the copy both happen on
+    # process 0 only — non-main hosts must not inspect the save dir at all
+    # (latest_path() during process 0's import_from rmtree/copytree could
+    # see a partially copied CKPT dir); the barrier makes the import
+    # visible before any host's try_resume.
+    if trainer.is_main_process and not trainer.checkpointer.latest_path():
         if os.path.isdir(pretrained_save):
-            if trainer.is_main_process:
-                trainer.checkpointer.import_from(
-                    pretrained_save, reset_meta={"WER": 100},
-                    reset_host_state={"epoch": 0, "global_step": 0})
+            trainer.checkpointer.import_from(
+                pretrained_save, reset_meta={"WER": 100},
+                reset_host_state={"epoch": 0, "global_step": 0})
         else:
             print(f"WARNING: no pretrained checkpoints at "
                   f"{pretrained_save!r} — finetuning from RANDOM weights")

@@ -102,9 +102,14 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     denominator depends only on the targets, so microbatch NUMERATOR
     gradients sum to the full-batch gradient once divided by the global
     totals (see losses.component_totals). The only semantic difference
-    from a monolithic step is BatchNorm: train-mode batch statistics are
-    per-microbatch (exactly like DDP replicas of the same size in the
-    reference, which never syncs BN — pretrain.py's sb.Brain default).
+    from a monolithic step is BatchNorm: train-mode normalization uses
+    per-microbatch batch statistics, and the RUNNING stats get exactly
+    one momentum update per optimizer step, taken from the first
+    microbatch — matching the reference's effective behavior (torch DDP
+    defaults to broadcast_buffers=True, so rank 0's per-replica stats win
+    with one momentum update per step). Train-mode BN never reads the
+    running stats (ops/layers.batch_norm), so microbatches 1..k-1 see no
+    difference from the discarded updates.
     """
     sw = batch.get("sample_weight")
     totals = component_totals(batch, cfg.pad, sample_weight=sw)
@@ -116,9 +121,9 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     micro = {k: split(v) for k, v in batch.items()}
     rngs = jax.random.split(rng, accum_steps)
 
-    def micro_loss(p, st, mb, key):
+    def micro_loss(p, mb, key):
         outs, new_st = forward(
-            p, st, mb["spectrogram"], key, cfg=cfg, train=True,
+            p, state, mb["spectrogram"], key, cfg=cfg, train=True,
             ground_truth=_ground_truth(mb), tf_ratio=tf_ratio,
             emit_full=False)
         nums = fused_component_sums(outs, mb, cfg.pad,
@@ -127,13 +132,13 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
         return loss_mb, (nums, new_st)
 
     def body(carry, xs):
-        grads_acc, nums_acc, st = carry
+        grads_acc, nums_acc = carry
         mb, key = xs
         (_, (nums, new_st)), grads = jax.value_and_grad(
-            micro_loss, has_aux=True)(params, st, mb, key)
+            micro_loss, has_aux=True)(params, mb, key)
         grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
         nums_acc = jax.tree.map(jnp.add, nums_acc, nums)
-        return (grads_acc, nums_acc, new_st), None
+        return (grads_acc, nums_acc), new_st
 
     zeros_grads = jax.tree.map(jnp.zeros_like, params)
     # Numerator dtype follows the compute dtype (f64 under jax x64) — a
@@ -143,8 +148,10 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     zeros_nums = {k: jnp.zeros((), num_dt)
                   for k in ("time_loss", "key_loss", "upper_loss",
                             "lower_loss")}
-    (grads, nums, new_state), _ = jax.lax.scan(
-        body, (zeros_grads, zeros_nums, state), (micro, rngs))
+    (grads, nums), stacked_states = jax.lax.scan(
+        body, (zeros_grads, zeros_nums), (micro, rngs))
+    # One running-stat momentum update per optimizer step (microbatch 0).
+    new_state = jax.tree.map(lambda s: s[0], stacked_states)
 
     comps = {k: nums[k] / totals[k] for k in nums}
     loss = sum(comps.values())

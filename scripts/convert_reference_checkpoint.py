@@ -52,8 +52,18 @@ def _resolve(src):
              os.path.isfile(os.path.join(src, d, "model.ckpt"))]
     if not ckpts:
         raise SystemExit(f"no model.ckpt found under {src}")
-    best = min(ckpts, key=lambda c: _read_ckpt_yaml(
-        os.path.join(c, "CKPT.yaml")).get("WER", float("inf")))
+    wers = {c: _read_ckpt_yaml(os.path.join(c, "CKPT.yaml")).get("WER")
+            for c in ckpts}
+    if all(not isinstance(w, float) for w in wers.values()):
+        # Make the arbitrary pick visible instead of silently pretending a
+        # best-WER selection happened (CKPT.yaml absent or non-flat YAML).
+        best = min(ckpts)
+        print(f"WARNING: no parseable WER metadata in any CKPT.yaml under "
+              f"{src}; using {os.path.basename(best)} (alphabetically "
+              f"first of {len(ckpts)})")
+    else:
+        best = min(ckpts, key=lambda c: wers[c]
+                   if isinstance(wers[c], float) else float("inf"))
     return (os.path.join(best, "model.ckpt"),
             _read_ckpt_yaml(os.path.join(best, "CKPT.yaml")))
 

@@ -97,7 +97,10 @@ def test_loss_decomposition_identity():
 def test_accum_step_matches_manual_microbatching():
     """train_step_accum == hand-rolled loop: per-microbatch grads of
     (numerators / global totals) summed, then one clipped Adadelta update.
-    Same RNG stream (jax.random.split(rng, k)) on both sides."""
+    Same RNG stream (jax.random.split(rng, k)) on both sides. BN running
+    stats take exactly ONE momentum update per optimizer step (from
+    microbatch 0 — the reference's DDP broadcast_buffers=True keeps
+    rank-0 stats with one update per step)."""
     k = 2
     batch = _batch(sample_weight=[1, 1, 1, 1])
     params = init_params(jax.random.PRNGKey(0), CFG)
@@ -120,14 +123,14 @@ def test_accum_step_matches_manual_microbatching():
     grads_sum = jax.tree.map(jnp.zeros_like, params)
     nums_sum = {c: 0.0 for c in ("time_loss", "key_loss", "upper_loss",
                                  "lower_loss")}
-    st = state
+    st = None  # expected final state: microbatch 0's update of `state`
     for m in range(k):
         sl = slice(m * B // k, (m + 1) * B // k)
         mb = {key: v[sl] for key, v in batch.items()}
 
-        def loss_fn(p, st=st, mb=mb, key=rngs[m]):
+        def loss_fn(p, mb=mb, key=rngs[m]):
             outs, new_st = forward(
-                p, st, mb["spectrogram"], key, cfg=CFG, train=True,
+                p, state, mb["spectrogram"], key, cfg=CFG, train=True,
                 ground_truth=(mb["time_sig"], mb["key"], mb["upper"],
                               mb["upper_lengths"], mb["lower"],
                               mb["lower_lengths"]),
@@ -137,8 +140,10 @@ def test_accum_step_matches_manual_microbatching():
             return sum(nums[c] / totals[c] for c in sorted(nums)), \
                 (nums, new_st)
 
-        (_, (nums, st)), grads = jax.value_and_grad(
+        (_, (nums, new_st)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if m == 0:
+            st = new_st
         grads_sum = jax.tree.map(jnp.add, grads_sum, grads)
         nums_sum = {c: nums_sum[c] + nums[c] for c in nums_sum}
 
