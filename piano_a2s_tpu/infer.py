@@ -3,11 +3,19 @@
 The complete audio-to-score slice (SURVEY.md §7 minimum slice): a 12 s clip
 becomes the reference's target structure ``[[key, time_sig, lower_tokens,
 upper_tokens], ...]`` ready for Kern/MusicXML/MIDI export.
+
+Serving path: ``transcribe_stream`` keeps several batches in flight on the
+device (async dispatch pipelining), fusing the VQT frontend and the model
+into one XLA program per batch — host upload, device compute, and host
+postprocessing of different batches overlap. This is the configuration
+bench.py measures; ``transcribe``/``transcribe_batch`` are the simple
+blocking calls.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from collections import deque
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -56,15 +64,38 @@ class Transcriber:
 
         self._infer = jax.jit(infer)
 
+        def infer_audio(params, state, audio_batch):
+            # Fused frontend+model: the VQT rides in the same XLA program
+            # as the forward pass, so per-batch host traffic is raw audio
+            # (0.77 MB/clip) instead of a spectrogram (2.3 MB/clip).
+            spec = get_vqt(audio_batch, self.kernels, self.vqt_cfg)
+            t = spec.shape[1]
+            if t >= max_frame_num:
+                spec = spec[:, :max_frame_num]
+            else:
+                spec = jnp.pad(spec, ((0, 0), (0, max_frame_num - t),
+                                      (0, 0)))
+            return infer(params, state, spec[:, None, :, :])
+
+        self._infer_audio = jax.jit(infer_audio)
+
     # -- frontend -----------------------------------------------------------
+
+    @property
+    def max_samples(self) -> int:
+        return (self.max_frame_num - 1) * self.vqt_cfg.hop_length
+
+    def _prep_audio(self, audio: np.ndarray) -> np.ndarray:
+        """Mono audio -> fixed-length (max_samples,) float32."""
+        audio = np.asarray(audio, np.float32)[: self.max_samples]
+        if len(audio) < self.max_samples:
+            audio = np.pad(audio, (0, self.max_samples - len(audio)))
+        return audio
 
     def spectrogram(self, audio: np.ndarray) -> np.ndarray:
         """12 s-max mono audio @ model sample rate -> (1, T, bins)."""
-        max_samples = (self.max_frame_num - 1) * self.vqt_cfg.hop_length
-        audio = np.asarray(audio, np.float32)[:max_samples]
-        if len(audio) < max_samples:
-            audio = np.pad(audio, (0, max_samples - len(audio)))
-        spec = np.asarray(get_vqt(audio, self.kernels, self.vqt_cfg))
+        spec = np.asarray(get_vqt(self._prep_audio(audio), self.kernels,
+                                  self.vqt_cfg))
         out = np.zeros((self.max_frame_num, spec.shape[-1]), np.float32)
         out[: spec.shape[0]] = spec[: self.max_frame_num]
         return out[None]
@@ -88,10 +119,15 @@ class Transcriber:
                 [specs, np.repeat(specs[-1:], padded - n, axis=0)])
         if self._batch_sharding is not None:
             specs = jax.device_put(specs, self._batch_sharding)
-        ts, key, up, low, up_len, low_len = jax.device_get(
-            self._infer(self.params, self.state, specs))
+        return self._postprocess(
+            jax.device_get(self._infer(self.params, self.state, specs)),
+            len(audio_batch))
+
+    def _postprocess(self, arrays, n: int) -> List[List[list]]:
+        """Device outputs -> first n clips' per-bar target structures."""
+        ts, key, up, low, _, _ = arrays
         out = []
-        for b in range(len(audio_batch)):
+        for b in range(n):
             bars = []
             for m in range(self.cfg.max_bars):
                 bars.append([
@@ -105,6 +141,52 @@ class Transcriber:
 
     def transcribe(self, audio: np.ndarray) -> List[list]:
         return self.transcribe_batch([audio])[0]
+
+    def transcribe_stream(self, clips: Iterable[np.ndarray],
+                          batch_size: int = 16,
+                          depth: int = 3) -> Iterator[List[list]]:
+        """Pipelined serving: yields each clip's target structure in input
+        order while keeping up to `depth` batches in flight on the device.
+
+        Async dispatch overlaps the host work (audio prep, upload, token
+        postprocessing) of one batch with device compute of the others —
+        measured both slightly faster than blocking calls and far more
+        robust to transfer-latency hiccups (docs/DESIGN.md §7: the tunnel
+        study behind bench.py's depth-3 loop, now shipped here). All
+        batches run at `batch_size` (the final one padded by repeating its
+        last clip) so one compiled program serves the whole stream.
+        """
+        if batch_size <= 0 or depth < 0:
+            raise ValueError("batch_size must be >0 and depth >=0")
+        if self.mesh is not None and batch_size % self.mesh.devices.size:
+            raise ValueError(
+                f"batch_size={batch_size} must divide the "
+                f"{self.mesh.devices.size}-device mesh")
+        inflight: deque = deque()
+
+        def batches():
+            buf: List[np.ndarray] = []
+            for clip in clips:
+                buf.append(self._prep_audio(clip))
+                if len(buf) == batch_size:
+                    yield buf, batch_size
+                    buf = []
+            if buf:
+                n = len(buf)
+                yield buf + [buf[-1]] * (batch_size - n), n
+
+        for buf, n in batches():
+            audio = np.stack(buf)
+            if self._batch_sharding is not None:
+                audio = jax.device_put(audio, self._batch_sharding)
+            inflight.append(
+                (n, self._infer_audio(self.params, self.state, audio)))
+            if len(inflight) > depth:
+                n0, arrs = inflight.popleft()
+                yield from self._postprocess(jax.device_get(arrs), n0)
+        while inflight:
+            n0, arrs = inflight.popleft()
+            yield from self._postprocess(jax.device_get(arrs), n0)
 
 
 def load_transcriber(checkpoint: Optional[str] = None,

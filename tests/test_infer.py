@@ -53,3 +53,38 @@ def test_transcribe_batch_shapes():
     assert len(results) == 3
     # short audio is padded; all clips produce max_bars entries
     assert all(len(r) == CFG.max_bars for r in results)
+
+
+def test_transcribe_stream_equals_blocking_calls():
+    """The pipelined serving loop yields exactly the blocking API's results
+    (in order, including the padded final partial batch), at every queue
+    depth — pipelining is a scheduling change, not a numeric one."""
+    tr = _transcriber()
+    rng = np.random.RandomState(2)
+    clips = [0.1 * rng.randn(n).astype(np.float32)
+             for n in (12000, 16000, 8000, 16000, 5000)]
+    expected = [tr.transcribe(c) for c in clips]
+    for depth in (0, 1, 3):
+        streamed = list(tr.transcribe_stream(clips, batch_size=2,
+                                             depth=depth))
+        assert streamed == expected, f"depth={depth}"
+
+
+def test_transcribe_stream_lazy_consumption():
+    """The stream accepts a generator and never materializes all clips."""
+    tr = _transcriber()
+    rng = np.random.RandomState(3)
+    produced = []
+
+    def gen():
+        for i in range(5):
+            produced.append(i)
+            yield 0.1 * rng.randn(8000).astype(np.float32)
+
+    it = tr.transcribe_stream(gen(), batch_size=2, depth=1)
+    first = next(it)
+    assert len(first) == CFG.max_bars
+    # depth-1 pipeline: at most 2 batches (4 clips) consumed for 1 result
+    assert len(produced) <= 4
+    rest = list(it)
+    assert len(rest) == 4
