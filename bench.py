@@ -8,7 +8,9 @@ Prints ONE JSON line:
 The primary number is the WORST-CASE config: f32, full-length decode
 (random weights never emit EOS, so BOTH sides run all 5x(398+189) steps —
 apples-to-apples vs the PyTorch reference on CPU, whose anchor is measured
-once and cached in .bench_baseline.json).
+once and cached in .bench_baseline.json). Every inference number is
+measured through the SHIPPED serving API (Transcriber.transcribe_stream,
+piano_a2s_tpu/infer.py) — not a bench-only loop.
 
 `configs` carries the tuned/secondary numbers so perf levers stay visible
 round-over-round (clips/s unless noted):
@@ -51,15 +53,18 @@ ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
 
 def measure_ours(decode_dtype=None, eos_bias: float = 0.0) -> float:
+    """Serving throughput measured through the SHIPPED pipeline: the
+    Transcriber's transcribe_stream (fused VQT+model program, depth-3
+    in-flight queue, host postprocessing overlapped via async dispatch)
+    — the number a user of piano_a2s_tpu.infer actually gets."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from piano_a2s_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    from piano_a2s_tpu.infer import Transcriber
     from piano_a2s_tpu.models import ModelConfig, init_params, init_state
-    from piano_a2s_tpu.models.score_transcription import forward
-    from piano_a2s_tpu.ops.vqt import VQTConfig, build_kernels, get_vqt
 
     cfg = ModelConfig()
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -72,41 +77,24 @@ def measure_ours(decode_dtype=None, eos_bias: float = 0.0) -> float:
             b[cfg.eos] += eos_bias
             params["decoder"][d]["out"]["b"] = jnp.asarray(b)
     state = init_state(cfg)
-    kernels = tuple(map(jnp.asarray, build_kernels(VQTConfig())))
+    tr = Transcriber(params, state, cfg, decode_dtype=decode_dtype)
     rng = np.random.RandomState(0)
-    # Distinct audio per iteration; host->device uploads overlap with
-    # compute through async dispatch (pipelined serving pattern).
-    audio_batches = [(0.2 * rng.randn(BATCH, 12 * 16000)).astype(np.float32)
-                     for _ in range(ITERS + 1)]
+    # Distinct audio per batch; the stream's depth-3 queue overlaps
+    # host->device uploads and postprocessing with device compute.
+    # Measured (interleaved A/B, B=32): depth 3 is both slightly faster
+    # than depth 1 (83 vs 81 clips/s) and far more robust to tunnel
+    # hiccups (held 83 through a phase where depth 1 dipped to 65).
+    clips = [(0.2 * rng.randn(12 * 16000)).astype(np.float32)
+             for _ in range(ITERS * BATCH)]
 
-    def pipeline(params, state, audio):
-        spec = get_vqt(audio, kernels)  # batched: (B, 1201, 480)
-        spec = spec[:, None, :, :]  # (B, 1, 1201, 480)
-        (ts, key, up, low, aux), _ = forward(
-            params, state, spec, jax.random.PRNGKey(0), cfg=cfg,
-            train=False, decode_dtype=decode_dtype)
-        return (jnp.argmax(ts, -1), jnp.argmax(key, -1),
-                aux["upper_tokens"], aux["lower_tokens"],
-                aux["upper_lengths"], aux["lower_lengths"])
-
-    fn = jax.jit(pipeline)
-    jax.device_get(fn(params, state, jax.device_put(audio_batches[-1])))
-
-    # 3 batches in flight: measured (interleaved A/B, B=32) the deeper
-    # queue is both slightly faster than depth 1 (83 vs 81 clips/s) and
-    # far more robust to tunnel hiccups (held 83 through a phase where
-    # depth 1 dipped to 65).
-    DEPTH = 3
+    # Warm-up: compiles the fused VQT+decode program.
+    list(tr.transcribe_stream(clips[:BATCH], batch_size=BATCH, depth=0))
 
     def timed_loop():
         t0 = time.time()
-        outs = []
-        for audio in audio_batches[:ITERS]:
-            outs.append(fn(params, state, jax.device_put(audio)))
-            if len(outs) > DEPTH:
-                jax.device_get(outs[-DEPTH - 1])
-        for o in outs[-DEPTH:]:
-            jax.device_get(o)
+        n = sum(1 for _ in tr.transcribe_stream(clips, batch_size=BATCH,
+                                                depth=3))
+        assert n == len(clips)
         return (time.time() - t0) / ITERS
 
     # Best of 3: the tunnel and host load add noise; the minimum reflects

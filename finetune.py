@@ -71,8 +71,13 @@ def main(argv=None):
                           max_frame_num=exp.max_frame_num,
                           max_length=exp.max_length)
 
+    # Per-host sharded train loading in multi-host runs (see pretrain.py).
+    import jax
+    shard = ((jax.process_index(), jax.process_count())
+             if args.data_parallel and jax.process_count() > 1 else None)
     trainer.fit(
-        DataLoader(train_ds, exp.batch_size, shuffle=True, seed=exp.seed),
+        DataLoader(train_ds, exp.batch_size, shuffle=True, seed=exp.seed,
+                   shard=shard),
         DataLoader(test_ds, exp.batch_size))
     stats = trainer.evaluate(DataLoader(test_ds, exp.batch_size),
                              min_key="WER")

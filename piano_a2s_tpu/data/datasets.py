@@ -92,12 +92,16 @@ class _DatasetBase:
         return padded, lengths
 
     # -- item assembly -------------------------------------------------------
+    #
+    # Items split into a LOCATOR (which files; consumes any sampling RNG),
+    # the TARGET half (small pickle — every host loads all of these in
+    # per-host sharded multi-host loading, keeping length bucketing and the
+    # cross-host batch contract global), and the SPECTROGRAM half (the
+    # heavy .npy IO — loaded only for a host's own shard rows).
 
-    def _item(self, feature_folder: str, spectrogram_name: str,
-              version) -> Dict[str, Any]:
+    def load_target(self, locator) -> Dict[str, Any]:
+        feature_folder, spectrogram_name, _ = locator
         target_name = spectrogram_name.split("~")[0]
-        spec = _load_npy(os.path.join(feature_folder, "spectrogram",
-                                      f"{spectrogram_name}.npy"))
         score = _load_pkl(os.path.join(feature_folder, "target",
                                        f"{target_name}.pkl"))
         key = np.array([int(m[0]) for m in score], np.int32) + 6
@@ -107,10 +111,21 @@ class _DatasetBase:
                                           self.max_length[0])
         lower, lower_len = self.pad_score([m[2] for m in score],
                                           self.max_length[1])
-        return {"spectrogram": self.pad_spectrogram(spec),
-                "time_sig": time_sig, "key": key,
+        return {"time_sig": time_sig, "key": key,
                 "upper": upper, "upper_lengths": upper_len,
-                "lower": lower, "lower_lengths": lower_len,
+                "lower": lower, "lower_lengths": lower_len}
+
+    def load_spectrogram(self, locator) -> np.ndarray:
+        feature_folder, spectrogram_name, _ = locator
+        spec = _load_npy(os.path.join(feature_folder, "spectrogram",
+                                      f"{spectrogram_name}.npy"))
+        return self.pad_spectrogram(spec)
+
+    def _item(self, feature_folder: str, spectrogram_name: str,
+              version) -> Dict[str, Any]:
+        locator = (feature_folder, spectrogram_name, version)
+        return {"spectrogram": self.load_spectrogram(locator),
+                **self.load_target(locator),
                 "name": spectrogram_name, "version": version}
 
 
@@ -136,11 +151,17 @@ class SyntheticTrainDataset(_DatasetBase):
     def __len__(self) -> int:
         return max(self.lengths.values())
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    def locate(self, idx: int):
+        """Draw this item's (folder, name, version); consumes the version-
+        sampling RNG, so all hosts calling locate for the same global index
+        stream stay in lockstep."""
         v = self.versions[self.rng.randint(len(self.versions))]
         folder = os.path.join(self.feature_folder, self.split, str(v))
         songs = self.song_list[v]
-        return self._item(folder, songs[idx % len(songs)], v)
+        return (folder, songs[idx % len(songs)], v)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self._item(*self.locate(idx))
 
 
 class SyntheticTestDataset(_DatasetBase):
@@ -159,10 +180,13 @@ class SyntheticTestDataset(_DatasetBase):
     def __len__(self) -> int:
         return len(self.items)
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    def locate(self, idx: int):
         name, v = self.items[idx]
         folder = os.path.join(self.feature_folder, self.split, str(v))
-        return self._item(folder, name, v)
+        return (folder, name, v)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self._item(*self.locate(idx))
 
 
 class ASAPDataset(_DatasetBase):
@@ -177,9 +201,12 @@ class ASAPDataset(_DatasetBase):
     def __len__(self) -> int:
         return len(self.songs)
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    def locate(self, idx: int):
         folder = os.path.join(self.feature_folder, self.split)
-        return self._item(folder, self.songs[idx], "asap")
+        return (folder, self.songs[idx], "asap")
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self._item(*self.locate(idx))
 
 
 def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -196,20 +223,70 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
 class DataLoader:
     """Host-side loader: shuffling + batching + optional padding of the
     final batch to a full batch (static shapes keep XLA happy), with
-    background-thread prefetch so disk IO overlaps device compute."""
+    background-thread prefetch so disk IO overlaps device compute.
+
+    Multi-host per-host sharded loading (shard=(process_index,
+    process_count)): every host draws the SAME global batch plan (same
+    seed, same dataset listing order, same sampling-RNG stream via
+    dataset.locate) and loads every row's TARGET (small pickles — keeps
+    length bucketing and the cross-host batch contract a pure function of
+    global state), but loads SPECTROGRAMS (the heavy IO) only for its own
+    contiguous row range. The batch then carries a "local_rows" marker and
+    a (batch/world)-row spectrogram array; the Trainer assembles the
+    global device array with jax.make_array_from_process_local_data.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, pad_final_batch: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, shard=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.pad_final_batch = pad_final_batch
         self.prefetch = prefetch
+        if shard is not None:
+            rank, world = shard
+            if not (0 <= rank < world):
+                raise ValueError(f"bad shard {shard}")
+            if world > 1:
+                if batch_size % world:
+                    raise ValueError(
+                        f"batch_size={batch_size} must divide the "
+                        f"{world}-process world for per-host loading")
+                if not pad_final_batch:
+                    raise ValueError("per-host sharded loading requires "
+                                     "pad_final_batch (static row ranges)")
+                if not hasattr(dataset, "locate"):
+                    raise ValueError("dataset must expose locate()/"
+                                     "load_target()/load_spectrogram() for "
+                                     "per-host sharded loading")
+            else:
+                shard = None  # single process: plain loading
+        self.shard = shard
 
     def __len__(self) -> int:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def _sharded_batch(self, idxs, n_real):
+        rank, world = self.shard
+        locators = [self.dataset.locate(int(i)) for i in idxs]
+        if len(locators) < self.batch_size:  # pad_final_batch, globally
+            locators += [locators[-1]] * (self.batch_size - len(locators))
+        targets = [self.dataset.load_target(loc) for loc in locators]
+        rows = self.batch_size // world
+        lo = rank * rows
+        specs = [self.dataset.load_spectrogram(loc)
+                 for loc in locators[lo: lo + rows]]
+        batch = {k: np.stack([t[k] for t in targets])
+                 for k in ("time_sig", "key", "upper", "upper_lengths",
+                           "lower", "lower_lengths")}
+        batch["spectrogram"] = np.stack(specs)
+        batch["names"] = [loc[1] for loc in locators]
+        batch["versions"] = [loc[2] for loc in locators]
+        batch["n_real"] = n_real
+        batch["local_rows"] = (lo, lo + rows)
+        return batch
 
     def _batches(self):
         order = np.arange(len(self.dataset))
@@ -217,8 +294,11 @@ class DataLoader:
             self.rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             idxs = order[start: start + self.batch_size]
+            n_real = len(idxs)
+            if self.shard is not None:
+                yield self._sharded_batch(idxs, n_real)
+                continue
             items = [self.dataset[int(i)] for i in idxs]
-            n_real = len(items)
             if self.pad_final_batch and n_real < self.batch_size:
                 items = items + [items[-1]] * (self.batch_size - n_real)
             batch = collate(items)

@@ -9,4 +9,5 @@ not implemented.
 """
 
 from .mesh import (  # noqa: F401
-    make_mesh, put_batch, put_replicated, replicate, shard_batch)
+    local_row_range, make_mesh, put_batch, put_batch_process_local,
+    put_replicated, replicate, shard_batch)

@@ -101,7 +101,7 @@ class Trainer:
 
     def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         dev = {k: v for k, v in batch.items()
-               if k not in ("names", "versions", "n_real")}
+               if k not in ("names", "versions", "n_real", "local_rows")}
         # Zero-weight the final batch's padding duplicates so they add
         # nothing to losses/gradients (shapes stay static & mesh-divisible).
         # Known approximation: duplicates still enter train-mode BatchNorm
@@ -112,10 +112,30 @@ class Trainer:
         weights = np.zeros(b, np.float32)
         weights[:n_real] = 1.0
         dev["sample_weight"] = weights
+        local_rows = batch.get("local_rows")
         if not self._batch_contract_ok:
-            self._assert_hosts_agree(dev)
+            if local_rows is None:
+                self._assert_hosts_agree(dev)
+            else:
+                # Per-host sharded loading: spectrogram arrays differ by
+                # design; the cross-host contract is the GLOBAL surface —
+                # targets, weights, and the batch plan (names/versions).
+                meta = {k: v for k, v in dev.items() if k != "spectrogram"}
+                meta["names"] = np.frombuffer(
+                    "\x00".join(map(str, batch["names"])).encode(),
+                    np.uint8)
+                meta["versions"] = np.frombuffer(
+                    "\x00".join(map(str, batch["versions"])).encode(),
+                    np.uint8)
+                self._assert_hosts_agree(meta)
             self._batch_contract_ok = True
-        if self.mesh is not None:
+        if local_rows is not None:
+            if self.mesh is None:
+                raise ValueError("per-host sharded batches require a mesh "
+                                 "(use_mesh=True)")
+            from ..parallel import put_batch_process_local
+            dev = put_batch_process_local(dev, self.mesh, local_rows)
+        elif self.mesh is not None:
             dev = put_batch(dev, self.mesh)
         return dev
 

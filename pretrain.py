@@ -82,8 +82,16 @@ def main(argv=None):
         max_frame_num=exp.max_frame_num, max_length=exp.max_length)
 
     trainer = Trainer(exp, use_mesh=args.data_parallel)
+    # Multi-host: per-host sharded TRAIN loading — each process reads only
+    # its shard's spectrograms (host IO scales with the local shard, not
+    # the global batch). Eval loaders stay fully replicated: WER/F1 and
+    # the per-clip result JSONs need every clip's targets on the host.
+    import jax
+    shard = ((jax.process_index(), jax.process_count())
+             if args.data_parallel and jax.process_count() > 1 else None)
     trainer.fit(
-        DataLoader(train_ds, exp.batch_size, shuffle=True, seed=exp.seed),
+        DataLoader(train_ds, exp.batch_size, shuffle=True, seed=exp.seed,
+                   shard=shard),
         DataLoader(valid_ds, exp.batch_size))
     stats = trainer.evaluate(DataLoader(test_ds, exp.batch_size),
                              min_key="WER")

@@ -10,6 +10,10 @@ Usage: python _multihost_worker.py <process_id> <num_processes> <port>
   mode "train":    fit 1 epoch on the shared fixture; dump stats JSON.
   mode "mismatch": draw per-process DIFFERENT batches; the harness's
                    cross-host batch assertion must fail.
+  mode "train_sharded":    per-host sharded train loading (each process
+                   reads only its shard's spectrograms); same results.
+  mode "mismatch_sharded": sharded loading with diverging loader seeds;
+                   the global-plan digest must fail loudly.
 """
 
 import json
@@ -65,10 +69,26 @@ valid_ds = SyntheticTestDataset(
     max_length=exp.max_length)
 
 # All hosts must draw identical batches: same loader seed everywhere —
-# except in "mismatch" mode, which deliberately violates the contract.
-loader_seed = process_id if mode == "mismatch" else 0
-train_loader = DataLoader(train_ds, exp.batch_size, shuffle=True,
-                          seed=loader_seed)
+# except in "mismatch*" modes, which deliberately violate the contract.
+loader_seed = process_id if mode.startswith("mismatch") else 0
+sharded = mode.endswith("sharded")
+
+# Instrument the heavy-IO path so the test can prove each host only read
+# its own shard's spectrograms.
+spec_loads = {"n": 0}
+_orig_load_spec = train_ds.load_spectrogram
+
+
+def _counting_load_spec(locator):
+    spec_loads["n"] += 1
+    return _orig_load_spec(locator)
+
+
+train_ds.load_spectrogram = _counting_load_spec
+
+train_loader = DataLoader(
+    train_ds, exp.batch_size, shuffle=True, seed=loader_seed,
+    shard=(process_id, num_processes) if sharded else None)
 valid_loader = DataLoader(valid_ds, exp.batch_size)
 
 trainer = Trainer(exp, use_mesh=True)
@@ -80,7 +100,8 @@ param_sum = float(sum(np.float64(np.asarray(p)).sum()
                       for p in jax.tree.leaves(params_host)))
 stats = {"train_loss": trainer.train_stats["loss"],
          "param_sum": param_sum,
-         "is_main": trainer.is_main_process}
+         "is_main": trainer.is_main_process,
+         "train_spectrogram_loads": spec_loads["n"]}
 with open(os.path.join(workdir, f"stats_{process_id}.json"), "w") as f:
     json.dump(stats, f)
 print(f"[proc {process_id}] done: {stats}", flush=True)

@@ -132,6 +132,78 @@ def test_mismatched_host_batches_fail_loudly(fixture_dir):
     assert "batch mismatch" in combined, combined
 
 
+@pytest.fixture()
+def big_fixture_dir(tmp_path):
+    # 8 train songs so per-host sharded loading (4 spectrograms/host) is
+    # distinguishable from full replication (8/host).
+    root = str(tmp_path / "features")
+    _make_fixture(root, "train", 0, n_songs=8)
+    _make_fixture(root, "valid", 0, n_songs=2, seed=1)
+    return str(tmp_path)
+
+
+@pytest.mark.slow
+def test_per_host_sharded_loading_matches_replicated(big_fixture_dir):
+    """Per-host sharded train loading: each process reads only its own
+    shard's spectrograms, and training results are identical across hosts
+    and equal (at reduction-order tolerance) to a single-process 8-device
+    run with plain replicated loading."""
+    outs = _launch(big_fixture_dir, "train_sharded")
+    for rc, out in outs:
+        assert rc == 0, out
+    stats = [json.load(open(os.path.join(big_fixture_dir,
+                                         f"stats_{i}.json")))
+             for i in range(2)]
+    assert stats[0]["train_loss"] == stats[1]["train_loss"]
+    assert stats[0]["param_sum"] == stats[1]["param_sum"]
+    # IO scaling: 1 epoch = one global batch of 8 -> 4 spectrogram reads
+    # per host (half the global batch each), not 8.
+    assert [s["train_spectrogram_loads"] for s in stats] == [4, 4]
+
+    from piano_a2s_tpu.config import ExperimentConfig
+    from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,
+                                    SyntheticTrainDataset)
+    from piano_a2s_tpu.train.harness import Trainer
+    import jax
+
+    sp_out = os.path.join(big_fixture_dir, "out_single")
+    exp = ExperimentConfig(
+        seed=7, workspace=big_fixture_dir, output_folder=sp_out,
+        feature_folder=os.path.join(big_fixture_dir, "features"),
+        save_folder=os.path.join(sp_out, "save"),
+        train_log=os.path.join(sp_out, "train_log.txt"),
+        max_length=(8, 6), max_bars=2, max_duration=1, frames_per_second=23,
+        bins_per_octave=4, n_octaves=4, number_of_epochs=1, batch_size=8,
+        conv_feature_size=16, hidden_size=16, note_emb_size=8,
+        staff_emb_size=8)
+    train_ds = SyntheticTrainDataset(
+        exp.feature_folder, "train", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
+        rng=np.random.RandomState(0))
+    valid_ds = SyntheticTestDataset(
+        exp.feature_folder, "valid", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+    trainer = Trainer(exp, use_mesh=True, n_devices=8)
+    trainer.fit(DataLoader(train_ds, exp.batch_size, shuffle=True, seed=0),
+                DataLoader(valid_ds, exp.batch_size))
+    params_host = jax.device_get(trainer.params)
+    param_sum = float(sum(np.float64(np.asarray(p)).sum()
+                          for p in jax.tree.leaves(params_host)))
+    np.testing.assert_allclose(trainer.train_stats["loss"],
+                               stats[0]["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(param_sum, stats[0]["param_sum"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_mismatched_sharded_batch_plans_fail_loudly(big_fixture_dir):
+    """With per-host loading, a seed mismatch corrupts WHICH rows each
+    host loads; the global-plan digest must catch it."""
+    outs = _launch(big_fixture_dir, "mismatch_sharded")
+    assert any(rc != 0 for rc, _ in outs), outs
+    combined = "\n".join(out for _, out in outs)
+    assert "batch mismatch" in combined, combined
+
+
 def test_loader_determinism_across_hosts(tmp_path):
     """The multi-host loader contract: identical seed + dataset listing
     order => identical batch streams (what every host relies on)."""
@@ -151,3 +223,73 @@ def test_loader_determinism_across_hosts(tmp_path):
         assert ba["names"] == bb["names"]
         for k in ("spectrogram", "upper", "lower", "time_sig", "key"):
             np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_sharded_loader_contract(tmp_path):
+    """Host-level contract of shard=(rank, world): global batch plan and
+    targets on every rank, complementary contiguous spectrogram shards."""
+    root = str(tmp_path / "features")
+    _make_fixture(root, "train", 0, n_songs=8)
+    from piano_a2s_tpu.data import DataLoader, SyntheticTrainDataset
+
+    def loader(rank):
+        ds = SyntheticTrainDataset(root, "train", versions=[0],
+                                   max_frame_num=24, max_length=(8, 6),
+                                   rng=np.random.RandomState(0))
+        return DataLoader(ds, 8, shuffle=True, seed=0, shard=(rank, 2))
+
+    (b0,), (b1,) = list(loader(0)), list(loader(1))
+    # identical global plan + targets on both ranks
+    assert b0["names"] == b1["names"] and len(b0["names"]) == 8
+    assert b0["n_real"] == b1["n_real"] == 8
+    for k in ("time_sig", "key", "upper", "upper_lengths", "lower",
+              "lower_lengths"):
+        assert b0[k].shape[0] == 8
+        np.testing.assert_array_equal(b0[k], b1[k])
+    # complementary contiguous local spectrogram shards
+    assert b0["local_rows"] == (0, 4) and b1["local_rows"] == (4, 8)
+    assert b0["spectrogram"].shape[0] == 4
+    full = loader(0)
+    full.shard = None
+    (ref,) = list(full)
+    np.testing.assert_array_equal(
+        np.concatenate([b0["spectrogram"], b1["spectrogram"]]),
+        ref["spectrogram"])
+
+    # final-batch padding replicates the last locator globally
+    ds = SyntheticTrainDataset(root, "train", versions=[0],
+                               max_frame_num=24, max_length=(8, 6),
+                               rng=np.random.RandomState(0))
+    batches = list(DataLoader(ds, 6, shuffle=False, seed=0, shard=(1, 2)))
+    last = batches[-1]
+    assert last["n_real"] == 2 and len(last["names"]) == 6
+    assert last["names"][1:] == [last["names"][1]] * 5
+
+    # divisibility and capability validation
+    with pytest.raises(ValueError):
+        DataLoader(ds, 5, shard=(0, 2))
+    with pytest.raises(ValueError):
+        DataLoader(ds, 4, shard=(2, 2))
+
+
+def test_put_batch_process_local_rejects_wrong_rows(tmp_path):
+    """A loader shard that doesn't match the rows this process's devices
+    own must fail loudly instead of silently misassigning rows."""
+    import jax
+    from piano_a2s_tpu.parallel import (make_mesh,
+                                        put_batch_process_local)
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-virtual-device CPU platform")
+    mesh = make_mesh(4)
+    batch = {"spectrogram": np.zeros((2, 3), np.float32),  # claims 2 rows
+             "key": np.zeros((4, 2), np.int32)}
+    # single process owns ALL 4 rows; a (0, 2) claim is inconsistent
+    with pytest.raises(ValueError, match="owned by process"):
+        put_batch_process_local(batch, mesh, (0, 2))
+    # the consistent claim assembles a correctly sharded global array
+    batch["spectrogram"] = np.zeros((4, 3), np.float32)
+    out = put_batch_process_local(batch, mesh, (0, 4))
+    assert out["spectrogram"].shape == (4, 3)
+    assert out["key"].sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+        ndim=2)
