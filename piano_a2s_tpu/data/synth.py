@@ -1,0 +1,194 @@
+"""Self-contained synthetic corpus generator.
+
+Produces full-size training corpora in the reference's on-disk feature
+layout (reference: datasets/syn.py:28-58 contract, render.py's folder
+structure) WITHOUT any external tool: additive-synthesis piano-like audio
+is rendered directly from randomly drawn kern-token targets, and
+spectrograms come from the librosa-algorithm oracle VQT
+(ops/vqt_oracle.py) — the same frontend family the reference trains on.
+
+The audio<->token mapping is deterministic, so a model can genuinely
+LEARN (or overfit) it; uses:
+  * hardware smoke/e2e tests of the full-size training harness on a real
+    chip without verovio/FluidSynth/soundfonts;
+  * overfit experiments that need a sharp free-running decode
+    (docs/DESIGN.md §9's trained-model frontend A/B);
+  * benchmarking Trainer.fit on realistic bar-length distributions.
+
+Layout written per (split, version):
+  {root}/{split}/{v}/spectrogram/{name}.npy   (<=1201, 480) f32 log-VQT
+  {root}/{split}/{v}/target/{chunk}.pkl       [[key, ts, lower, upper]...]
+  {root}/{split}/{v}/info/{chunk}.json        {"composer": "synth", ...}
+  {root}/{split}/{v}/audio/{name}.npy         (optional) raw f32 @ 16 kHz
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..symbolic.humdrum import kern_to_midi
+from ..symbolic.vocab import LabelsMultiple
+
+_UPPER_PITCHES = ["c", "d", "e", "f", "g", "a", "b",
+                  "cc", "dd", "ee", "ff", "gg", "aa", "bb"]
+_LOWER_PITCHES = ["C", "D", "E", "F", "G", "A", "B",
+                  "CC", "DD", "EE", "FF", "GG", "AA", "BB"]
+_DURATIONS = ["2", "4", "4", "8", "8", "16"]  # quarter/eighth-heavy mix
+_NOTE_RE = re.compile(r"(\d+\.*)([a-gA-Gr]+[\-#]*)")
+
+
+def random_bar_text(rng: np.random.RandomState, staff: str,
+                    n_notes: Tuple[int, int]) -> str:
+    """One bar of kern note text, pitch-random-walked within the staff's
+    register (a few accidentals, no chords/ties — plain learnable bars)."""
+    pitches = _UPPER_PITCHES if staff == "upper" else _LOWER_PITCHES
+    pos = rng.randint(len(pitches))
+    notes = []
+    for _ in range(rng.randint(n_notes[0], n_notes[1] + 1)):
+        pos = int(np.clip(pos + rng.randint(-2, 3), 0, len(pitches) - 1))
+        acc = "-" if rng.rand() < 0.08 else ("#" if rng.rand() < 0.08
+                                             else "")
+        dur = _DURATIONS[rng.randint(len(_DURATIONS))]
+        notes.append(f"{dur}{pitches[pos]}{acc}")
+    return " ".join(notes)
+
+
+def _note_fraction(dur_token: str) -> float:
+    """Kern duration token -> whole-note fraction (dots extend by 1.5x)."""
+    digits = dur_token.rstrip(".")
+    frac = 1.0 / max(int(digits), 1)
+    if dur_token.endswith("."):
+        frac *= 1.5
+    return frac
+
+
+def synthesize_bar(bar_text: str, bar_seconds: float, sr: int,
+                   out: np.ndarray, offset_s: float) -> None:
+    """Additively render one staff's bar into `out` (in place): damped
+    harmonics per note, notes laid out sequentially and scaled to fill
+    the bar."""
+    notes = _NOTE_RE.findall(bar_text)
+    if not notes:
+        return
+    fracs = [_note_fraction(d) for d, _ in notes]
+    scale = bar_seconds / sum(fracs)
+    t0 = offset_s
+    for (dur, pitch), frac in zip(notes, fracs):
+        seconds = frac * scale
+        if pitch != "r":
+            midi = kern_to_midi(pitch)
+            f0 = 440.0 * 2.0 ** ((midi - 69) / 12.0)
+            n = int(seconds * sr)
+            start = int(t0 * sr)
+            n = min(n, len(out) - start)
+            if n > 0:
+                t = np.arange(n) / sr
+                env = np.exp(-t / 0.35) * np.minimum(t / 0.005, 1.0)
+                tone = np.zeros(n)
+                for h in range(1, 6):
+                    fh = f0 * h
+                    if fh < sr / 2:
+                        tone += np.sin(2 * np.pi * fh * t) / h ** 1.5
+                out[start:start + n] += 0.2 * env * tone
+        t0 += seconds
+
+
+def synthesize_target_audio(target: List[list], sr: int = 16000,
+                            clip_seconds: float = 11.8,
+                            bar_texts: Optional[List[Tuple[str, str]]]
+                            = None) -> np.ndarray:
+    """Render a target structure's bars to mono audio. `bar_texts` gives
+    (upper_text, lower_text) per bar; without it the token ids are decoded
+    back to text first (the mapping is the decode of the target)."""
+    labels = LabelsMultiple(extended=True)
+    n_bars = len(target)
+    bar_seconds = clip_seconds / n_bars
+    out = np.zeros(int(clip_seconds * sr) + sr // 10, np.float64)
+    for i, measure in enumerate(target):
+        if bar_texts is not None:
+            up_text, low_text = bar_texts[i]
+        else:
+            up_text = "".join(labels.decode(measure[3]))
+            low_text = "".join(labels.decode(measure[2]))
+        synthesize_bar(up_text, bar_seconds, sr, out, i * bar_seconds)
+        synthesize_bar(low_text, bar_seconds, sr, out, i * bar_seconds)
+    peak = np.abs(out).max()
+    if peak > 0:
+        out *= 0.7 / peak
+    return out.astype(np.float32)
+
+
+def make_song(rng: np.random.RandomState, n_bars: int = 5,
+              upper_notes=(4, 9), lower_notes=(3, 6)):
+    """-> (target, audio): one song's target structure + rendered clip."""
+    labels = LabelsMultiple(extended=True)
+    key = int(rng.randint(-6, 8))
+    ts = "4/4"
+    target, texts = [], []
+    for _ in range(n_bars):
+        up = random_bar_text(rng, "upper", upper_notes)
+        low = random_bar_text(rng, "lower", lower_notes)
+        target.append([key, ts, labels.encode(low), labels.encode(up)])
+        texts.append((up, low))
+    audio = synthesize_target_audio(target, bar_texts=texts)
+    return target, audio
+
+
+def write_corpus(feature_folder: str, split: str, n_songs: int,
+                 version: int = 0, seed: int = 0, n_bars: int = 5,
+                 sr: int = 16000, max_frame_num: int = 1201,
+                 save_audio: bool = True, frontend: str = "oracle") -> int:
+    """Generate one split/version folder; returns #songs written.
+    frontend='oracle' uses the librosa-algorithm multirate VQT (what the
+    reference's pipeline would produce); 'direct' uses ops/vqt.py's
+    full-rate host twin."""
+    from ..ops.vqt import VQTConfig, get_vqt_host
+    from ..ops.vqt_oracle import get_vqt_librosa_host
+    cfg = VQTConfig(sample_rate=sr)
+    vqt = (get_vqt_librosa_host if frontend == "oracle" else get_vqt_host)
+    rng = np.random.RandomState(seed)
+    base = os.path.join(feature_folder, split, str(version))
+    subs = ["spectrogram", "target", "info"] + (["audio"] if save_audio
+                                                else [])
+    for sub in subs:
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    for s in range(n_songs):
+        chunk = f"syn{seed}_{s:03d}"
+        name = f"{chunk}~v0~Upright"
+        target, audio = make_song(rng, n_bars=n_bars)
+        spec = np.asarray(vqt(audio, cfg), np.float32)[:max_frame_num]
+        np.save(os.path.join(base, "spectrogram", f"{name}.npy"), spec)
+        with open(os.path.join(base, "target", f"{chunk}.pkl"), "wb") as f:
+            pickle.dump(target, f)
+        with open(os.path.join(base, "info", f"{chunk}.json"), "w") as f:
+            json.dump({"composer": "synth", "n_bars": n_bars}, f)
+        if save_audio:
+            np.save(os.path.join(base, "audio", f"{name}.npy"), audio)
+    return n_songs
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root", help="feature folder to create")
+    ap.add_argument("--splits", default="train:32,valid:8,test:8",
+                    help="comma list of split:n_songs")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bars", type=int, default=5)
+    ap.add_argument("--no-audio", action="store_true")
+    args = ap.parse_args(argv)
+    for part in args.splits.split(","):
+        split, n = part.split(":")
+        n = write_corpus(args.root, split, int(n), seed=args.seed,
+                         n_bars=args.bars, save_audio=not args.no_audio)
+        print(f"{split}: {n} songs")
+
+
+if __name__ == "__main__":
+    main()
