@@ -30,6 +30,13 @@ round-over-round (clips/s unless noted):
                           gradient accumulation keeps the activation
                           footprint at microbatch size (exact full-batch
                           gradient; tests/test_grad_accum.py)
+  train_b32_accum4_bucket64  the recommended real-data training config:
+                          B=32 effective via accum_steps=4, decode scans
+                          bucketed at 64 tokens (real bars are ~10-40
+                          tokens)
+  train_fit_e2e           Trainer.fit() end-to-end (loader + bucketing +
+                          accumulation + validation + checkpointing) at
+                          full size, steady-state epochs only
 Set BENCH_CONFIGS=0 to print only the primary metric.
 """
 
@@ -160,6 +167,78 @@ def measure_train(batch_size: int, max_length=None,
     return b / min(times)
 
 
+def measure_train_fit(epochs: int = 3, n_train: int = 32,
+                      batch_size: int = 16, accum_steps: int = 4,
+                      exp_kwargs=None, spec_shape=(1199, 480)) -> float:
+    """End-to-end Trainer.fit() throughput at full model size: the SHIPPED
+    training loop (prefetching loader, length bucketing, gradient
+    accumulation, free-running validation with WER/F1, checkpointing) on
+    a generated full-size fixture with realistic bar lengths. clips/s
+    from the harness's own per-epoch wall time, excluding epoch 1
+    (compile warm-up). Includes the per-epoch validation pass — with
+    random weights its free-running decode runs to the full 398-step
+    caps, so this is the worst-case epoch, not just the train steps."""
+    import pickle
+    import re
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from piano_a2s_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    from piano_a2s_tpu.config import ExperimentConfig
+    from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,
+                                    SyntheticTrainDataset)
+    from piano_a2s_tpu.train.harness import Trainer
+
+    root = tempfile.mkdtemp(prefix="bench_fit_")
+    try:
+        rng = np.random.RandomState(0)
+        for split, n in (("train", n_train), ("valid", 8)):
+            base = os.path.join(root, "features", split, "0")
+            for sub in ("spectrogram", "target", "info"):
+                os.makedirs(os.path.join(base, sub))
+            for s in range(n):
+                name = f"song{s}~v0~Upright"
+                np.save(os.path.join(base, "spectrogram", f"{name}.npy"),
+                        rng.rand(*spec_shape).astype(np.float32))
+                target = [[int(rng.randint(-6, 8)), "4/4",
+                           rng.randint(0, 140, rng.randint(3, 40)).tolist(),
+                           rng.randint(0, 140, rng.randint(3, 60)).tolist()]
+                          for _ in range(5)]
+                with open(os.path.join(base, "target",
+                                       f"song{s}.pkl"), "wb") as f:
+                    pickle.dump(target, f)
+        out = os.path.join(root, "out")
+        exp = ExperimentConfig(
+            seed=0, workspace=root, output_folder=out,
+            feature_folder=os.path.join(root, "features"),
+            save_folder=os.path.join(out, "save"),
+            train_log=os.path.join(out, "train_log.txt"),
+            number_of_epochs=epochs, batch_size=batch_size,
+            **(exp_kwargs or {}))
+        exp.extras.update(accum_steps=accum_steps, bucket_tokens=64)
+        trainer = Trainer(exp)
+        train_ds = SyntheticTrainDataset(
+            exp.feature_folder, "train", versions=[0],
+            max_frame_num=exp.max_frame_num, max_length=exp.max_length,
+            rng=np.random.RandomState(0))
+        valid_ds = SyntheticTestDataset(
+            exp.feature_folder, "valid", versions=[0],
+            max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+        trainer.fit(
+            DataLoader(train_ds, batch_size, shuffle=True, seed=0),
+            DataLoader(valid_ds, batch_size))
+        with open(exp.train_log) as f:
+            times = [float(m) for m in
+                     re.findall(r"epoch_time: ([0-9.]+)", f.read())]
+        steady = times[1:] or times
+        return n_train / (sum(steady) / len(steady))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def measure_torch_baseline() -> float:
     """Reference PyTorch model on CPU (batch 1), full greedy decode."""
     import types
@@ -222,6 +301,9 @@ def main():
         configs["train_b8_full"] = round(measure_train(8), 2)
         configs["train_b16_accum2_full"] = round(
             measure_train(16, accum_steps=2), 2)
+        configs["train_b32_accum4_bucket64"] = round(
+            measure_train(32, max_length=(64, 64), accum_steps=4), 2)
+        configs["train_fit_e2e"] = round(measure_train_fit(), 2)
         record["configs"] = configs
     print(json.dumps(record))
 

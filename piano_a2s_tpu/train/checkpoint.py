@@ -81,7 +81,11 @@ class Checkpointer:
     def save_and_keep_only(self, trees, meta, host_state=None,
                            min_keys: Tuple[str, ...] = ("WER",)) -> str:
         """Save, then delete every checkpoint that is not the best (lowest)
-        on each of min_keys (union kept)."""
+        on each of min_keys (union kept). Also sweeps INCOMPLETE CKPT dirs
+        (no meta.json — meta is written last, so such a dir is the debris
+        of a save killed mid-flight; resume already ignores them, this
+        keeps them from accumulating). Safe: saves are sequential within
+        the single saving process (process 0)."""
         path = self.save(trees, meta, host_state)
         ckpts = self._ckpt_dirs()
         keep = set()
@@ -92,6 +96,12 @@ class Checkpointer:
         for c in ckpts:
             if c not in keep:
                 shutil.rmtree(c)
+        for d in os.listdir(self.dir):
+            full = os.path.join(self.dir, d)
+            if (d.startswith(CKPT_PREFIX) and os.path.isdir(full)
+                    and not os.path.exists(os.path.join(full,
+                                                        "meta.json"))):
+                shutil.rmtree(full)
         return path
 
     # -- load ---------------------------------------------------------------

@@ -132,6 +132,35 @@ def test_fit_evaluate_resume(exp):
     assert "epoch: 3" in log
 
 
+def test_partial_checkpoint_ignored_and_swept(tmp_path):
+    """Crash recovery: a CKPT dir without meta.json (meta is written last,
+    so this is the debris of a save killed mid-flight — observed on a real
+    SIGKILL mid-save) is invisible to best/latest/resume, and the next
+    save_and_keep_only sweeps it."""
+    import jax
+    from piano_a2s_tpu.train.checkpoint import Checkpointer
+
+    ckptr = Checkpointer(str(tmp_path / "save"))
+    trees = {"params": {"w": np.ones(3, np.float32)}}
+    good = ckptr.save_and_keep_only(trees, {"WER": 5.0},
+                                    {"epoch": 1}, min_keys=("WER",))
+    # simulate a killed save: partial dir with arrays but no meta.json
+    partial = os.path.join(str(tmp_path / "save"), "CKPT+9999+partial")
+    os.makedirs(os.path.join(partial, "params"))
+    assert ckptr.latest_path() == good
+    assert ckptr.best_path() == good
+    trees2 = {"params": {"w": 2 * np.ones(3, np.float32)}}
+    ckptr.save_and_keep_only(trees2, {"WER": 4.0}, {"epoch": 2},
+                             min_keys=("WER",))
+    assert not os.path.exists(partial)  # debris swept
+    best = ckptr.best_path()
+    loaded, host_state, meta = ckptr.load(best, trees)
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]),
+                                  2 * np.ones(3))
+    assert host_state["epoch"] == 2 and meta["WER"] == 4.0
+    del jax  # imported for platform side effects only
+
+
 def test_profile_flag_produces_trace_and_step_times(exp):
     """--profile wiring: an XLA trace of the first steps plus per-step
     timing (profile/step_times.json and step_ms in the train log)."""
