@@ -86,6 +86,23 @@ class Checkpointer:
         of a save killed mid-flight; resume already ignores them, this
         keeps them from accumulating). Safe: saves are sequential within
         the single saving process (process 0)."""
+        existing = self._ckpt_dirs()
+        if existing:
+            # Saving a checkpoint that keep-only-best would immediately
+            # delete is pure waste — and it is EXPENSIVE waste: the save
+            # device_gets every array (~200 MB for the full model, seconds
+            # through a remote-device transport) before writing. Skip the
+            # save unless this epoch strictly improves some min_key
+            # (identical surviving-checkpoint set either way: ties keep
+            # the OLDER checkpoint, matching min()'s first-wins order).
+            inf = float("inf")
+            improves = any(
+                float(meta.get(k, inf)) < min(
+                    float(self._read_meta(c).get(k, inf))
+                    for c in existing)
+                for k in min_keys)
+            if not improves:
+                return self.best_path(min_keys[0]) or existing[0]
         path = self.save(trees, meta, host_state)
         ckpts = self._ckpt_dirs()
         keep = set()

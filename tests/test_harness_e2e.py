@@ -149,6 +149,12 @@ def test_partial_checkpoint_ignored_and_swept(tmp_path):
     os.makedirs(os.path.join(partial, "params"))
     assert ckptr.latest_path() == good
     assert ckptr.best_path() == good
+    # a non-improving epoch SKIPS the save entirely (it would be deleted
+    # by keep-only-best anyway; saving costs a full device_get)
+    worse = ckptr.save_and_keep_only(
+        {"params": {"w": 9 * np.ones(3, np.float32)}}, {"WER": 7.0},
+        {"epoch": 2}, min_keys=("WER",))
+    assert worse == good and ckptr._ckpt_dirs() == [good]
     trees2 = {"params": {"w": 2 * np.ones(3, np.float32)}}
     ckptr.save_and_keep_only(trees2, {"WER": 4.0}, {"epoch": 2},
                              min_keys=("WER",))
