@@ -187,7 +187,11 @@ def test_run_mv2h_pair_invocation_and_parse(fake_bin, tmp_path, monkeypatch):
     _write_test_midi(ref_mid)
     _write_test_midi(hyp_mid, pitches=(62, 65))
 
-    result = run_mv2h_pair(str(ref_mid), str(hyp_mid), "/opt/MV2H/bin")
+    # timeout=60: the fake java pays a python-interpreter startup (~4 s
+    # each under CPU load) x3; the production 10 s default is pinned by
+    # the dedicated timeout test below.
+    result = run_mv2h_pair(str(ref_mid), str(hyp_mid), "/opt/MV2H/bin",
+                           timeout=60)
     assert result is not None
     assert set(result) == set(MV2H_KEYS)
     # Different MIDIs -> fake Converter emits different CHECKSUM lines ->
@@ -211,7 +215,8 @@ def test_run_mv2h_pair_invocation_and_parse(fake_bin, tmp_path, monkeypatch):
     assert not os.path.exists(f"{hyp_mid}.conv.txt")
 
     # identical pair -> identical conv text -> Multi-pitch 1.0
-    result2 = run_mv2h_pair(str(ref_mid), str(ref_mid), "/opt/MV2H/bin")
+    result2 = run_mv2h_pair(str(ref_mid), str(ref_mid), "/opt/MV2H/bin",
+                            timeout=60)
     assert result2["Multi-pitch"] == 1.0
 
 
@@ -229,7 +234,8 @@ def test_run_mv2h_pair_malformed_output_returns_none(fake_bin, tmp_path,
     monkeypatch.setenv("FAKE_JAVA_GARBAGE", "1")
     mid = tmp_path / "a.mid"
     _write_test_midi(mid)
-    assert run_mv2h_pair(str(mid), str(mid), "/opt/MV2H") is None
+    assert run_mv2h_pair(str(mid), str(mid), "/opt/MV2H",
+                         timeout=60) is None
 
 
 def _make_result_fixture(out_dir, split, clip_id, target):
@@ -267,7 +273,7 @@ def test_get_mv2h_from_test_end_to_end(fake_bin, tmp_path, monkeypatch):
     _make_result_fixture(out, "test", "brokenclip", target)
     os.remove(os.path.join(out, "brokenclip_target.pkl"))
 
-    errors = get_mv2h_from_test(out, "test", "/opt/MV2H/bin")
+    errors = get_mv2h_from_test(out, "test", "/opt/MV2H/bin", timeout=60)
 
     # goodclip scored and saved with the replayed real-format numbers
     mv2h_path = os.path.join(out, "results", "mv2h", "goodclip_mv2h.json")
@@ -290,7 +296,7 @@ def test_get_mv2h_from_test_end_to_end(fake_bin, tmp_path, monkeypatch):
 
     # resumability: second run skips the already-scored clip entirely
     n_calls = len(log.read_text().splitlines())
-    get_mv2h_from_test(out, "test", "/opt/MV2H/bin")
+    get_mv2h_from_test(out, "test", "/opt/MV2H/bin", timeout=60)
     calls_after = log.read_text().splitlines()
     assert all("goodclip" not in c for c in calls_after[n_calls:])
 

@@ -33,3 +33,12 @@ def test_mesh_transcriber_matches_single_device():
     a = single.transcribe_batch(clips)
     b = meshy.transcribe_batch(clips)  # padded to 8 across the mesh
     assert a == b
+
+    # The pipelined stream also serves over the mesh (batch_size must
+    # divide the mesh) and yields the same results.
+    c = list(meshy.transcribe_stream(clips, batch_size=8, depth=2))
+    assert c == a
+    # non-divisible batch size is rejected up front
+    import pytest
+    with pytest.raises(ValueError):
+        next(meshy.transcribe_stream(clips, batch_size=3))
