@@ -183,9 +183,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--bars", type=int, default=5)
     ap.add_argument("--no-audio", action="store_true")
     args = ap.parse_args(argv)
-    for part in args.splits.split(","):
+    for i, part in enumerate(args.splits.split(",")):
         split, n = part.split(":")
-        n = write_corpus(args.root, split, int(n), seed=args.seed,
+        # Distinct seed per split — the same seed would draw IDENTICAL
+        # songs for train/valid/test (no held-out data at all).
+        n = write_corpus(args.root, split, int(n),
+                         seed=args.seed + 7919 * (i + 1),
                          n_bars=args.bars, save_audio=not args.no_audio)
         print(f"{split}: {n} songs")
 
