@@ -52,10 +52,12 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 # can take minutes; repeat runs hit the cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
-# Batch sweep (interleaved A/B, depth-3 pipeline): 16 < 32 < 48 (~+7%
-# at 48 vs 32: 83-87 vs 78-82 clips/s); 64 was inconclusive under tunnel
-# drift and risks HBM pressure (5.9 GB per conv activation buffer).
-BATCH = int(os.environ.get("BENCH_BATCH", "48"))
+# Batch sweep (interleaved A/B, depth-3 stream): 16 < 32 < 48 < 64 > 96
+# (round 3, f32: 64 beat 48 by ~4-5% in every interleaved round —
+# 80.2/79.9/76.5 vs 76.3/76.3/72.6 — and 96 degraded to 44-65).
+# HBM is NOT the constraint: the serving program's temp memory is ~9 GB
+# flat from B=32 to 96 (docs/DESIGN.md §2).
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
 
