@@ -38,6 +38,9 @@ def main():
                     help="experiment YAML for model dims (default: the "
                          "full-size production config)")
     ap.add_argument("--out", default=None, help="write report JSON here")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu'; the TPU "
+                         "plugin ignores the JAX_PLATFORMS env var)")
     args = ap.parse_args()
 
     import numpy as np
@@ -46,6 +49,9 @@ def main():
 
     enable_compile_cache()
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from piano_a2s_tpu.infer import load_transcriber
     from piano_a2s_tpu.models import ModelConfig
