@@ -192,7 +192,8 @@ class Transcriber:
 def load_transcriber(checkpoint: Optional[str] = None,
                      cfg: ModelConfig = ModelConfig(),
                      vqt_cfg: VQTConfig = VQTConfig(),
-                     seed: int = 0, decode_dtype=None) -> Transcriber:
+                     seed: int = 0, decode_dtype=None,
+                     max_frame_num: int = 1201) -> Transcriber:
     """Build a Transcriber from an orbax save dir, a torch checkpoint file,
     or (checkpoint=None) random init."""
     from .models import init_params, init_state
@@ -218,6 +219,7 @@ def load_transcriber(checkpoint: Optional[str] = None,
                                             "state": state})
             params, state = trees["params"], trees["state"]
     return Transcriber(params, state, cfg, vqt_cfg,
+                       max_frame_num=max_frame_num,
                        decode_dtype=decode_dtype)
 
 

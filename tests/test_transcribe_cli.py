@@ -1,0 +1,57 @@
+"""transcribe.py CLI smoke: the many-file path streams through the
+pipelined serving loop (lazy wav reads, incremental outputs)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from conftest import REPO_ROOT
+
+TINY_YAML = """\
+seed: 0
+midi_syn: score
+workspace: {root}
+output_folder: {root}/out
+feature_folder: {root}/features
+save_folder: {root}/out/save
+train_log: {root}/out/log.txt
+max_length: [8, 6]
+max_bars: 2
+max_duration: 1
+frames_per_second: 23
+bins_per_octave: 3
+n_octaves: 4
+conv_feature_size: 16
+hidden_size: 16
+note_emb_size: 8
+staff_emb_size: 8
+number_of_epochs: 1
+batch_size: 2
+"""
+
+
+def test_transcribe_cli_stream_path(tmp_path):
+    from piano_a2s_tpu.utils.audio import write_wav
+    rng = np.random.RandomState(0)
+    wavs = []
+    for i in range(6):  # >4 inputs -> the stream path
+        p = str(tmp_path / f"clip{i}.wav")
+        write_wav(p, 0.1 * rng.randn(8000), 16000)
+        wavs.append(p)
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML.format(root=tmp_path))
+    out_dir = str(tmp_path / "scores")
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "transcribe.py"), *wavs,
+         "--out-dir", out_dir, "--config", str(cfg), "--batch-size", "2",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=480, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "transcribed 6 clip(s)" in r.stdout
+    for i in range(6):
+        for ext in (".krn", ".xml", ".mid"):
+            assert os.path.exists(os.path.join(out_dir, f"clip{i}{ext}")), \
+                (i, ext, os.listdir(out_dir))

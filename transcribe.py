@@ -29,6 +29,16 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 decode loop (~2x faster, tiny "
                              "numeric deviation from f32)")
+    parser.add_argument("--batch-size", type=int, default=16,
+                        help="serving batch size for many-file jobs "
+                             "(>4 inputs stream through the pipelined "
+                             "serving loop at this batch size)")
+    parser.add_argument("--config", default=None,
+                        help="experiment YAML for model dims (default: "
+                             "the full-size production model)")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. 'cpu'; the TPU "
+                             "plugin ignores the JAX_PLATFORMS env var)")
     args = parser.parse_args(argv)
 
     from piano_a2s_tpu.infer import load_transcriber, result_to_files
@@ -36,23 +46,43 @@ def main(argv=None):
     from piano_a2s_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     decode_dtype = None
     if args.bf16:
         import jax.numpy as jnp
         decode_dtype = jnp.bfloat16
-    tr = load_transcriber(args.checkpoint, decode_dtype=decode_dtype)
+    if args.config:
+        from piano_a2s_tpu.config import load_experiment
+        exp = load_experiment(args.config)
+        tr = load_transcriber(args.checkpoint, cfg=exp.model_config(),
+                              vqt_cfg=exp.vqt_config(),
+                              max_frame_num=exp.max_frame_num,
+                              decode_dtype=decode_dtype)
+    else:
+        tr = load_transcriber(args.checkpoint, decode_dtype=decode_dtype)
     os.makedirs(args.out_dir, exist_ok=True)
 
-    clips = []
-    for path in args.inputs:
-        audio, sr = read_wav(path)
-        clips.append(resample(audio, sr, tr.vqt_cfg.sample_rate))
+    def clip_gen():
+        for path in args.inputs:
+            audio, sr = read_wav(path)
+            yield resample(audio, sr, tr.vqt_cfg.sample_rate)
 
     t0 = time.time()
-    results = tr.transcribe_batch(clips)
-    dt = time.time() - t0
+    if len(args.inputs) <= 4:
+        # Small jobs: one blocking padded batch (single compile).
+        results = iter(tr.transcribe_batch(list(clip_gen())))
+    else:
+        # Many files: the pipelined serving stream — audio is read
+        # lazily, several batches stay in flight on the device, and
+        # results arrive incrementally in input order.
+        results = tr.transcribe_stream(clip_gen(),
+                                       batch_size=args.batch_size,
+                                       depth=3)
     used = set()
+    n = 0
     for path, target in zip(args.inputs, results):
         stem = os.path.splitext(os.path.basename(path))[0]
         unique, k = stem, 1
@@ -62,9 +92,11 @@ def main(argv=None):
         used.add(unique)
         prefix = os.path.join(args.out_dir, unique)
         paths = result_to_files(target, prefix)
+        n += 1
         print(f"{path} -> {', '.join(sorted(paths.values()))}")
-    print(f"transcribed {len(clips)} clip(s) in {dt:.2f}s "
-          f"({len(clips) / dt:.2f} clips/s)")
+    dt = time.time() - t0
+    print(f"transcribed {n} clip(s) in {dt:.2f}s "
+          f"({n / dt:.2f} clips/s)")
     return 0
 
 
