@@ -273,11 +273,25 @@ class DataLoader:
         locators = [self.dataset.locate(int(i)) for i in idxs]
         if len(locators) < self.batch_size:  # pad_final_batch, globally
             locators += [locators[-1]] * (self.batch_size - len(locators))
-        targets = [self.dataset.load_target(loc) for loc in locators]
+        # Load each distinct locator once: padding replicates the final
+        # locator (and random-version sampling can repeat one), so a
+        # naive per-row load would re-read the same files many times.
+        t_cache, s_cache = {}, {}
+
+        def load_t(loc):
+            if loc not in t_cache:
+                t_cache[loc] = self.dataset.load_target(loc)
+            return t_cache[loc]
+
+        def load_s(loc):
+            if loc not in s_cache:
+                s_cache[loc] = self.dataset.load_spectrogram(loc)
+            return s_cache[loc]
+
+        targets = [load_t(loc) for loc in locators]
         rows = self.batch_size // world
         lo = rank * rows
-        specs = [self.dataset.load_spectrogram(loc)
-                 for loc in locators[lo: lo + rows]]
+        specs = [load_s(loc) for loc in locators[lo: lo + rows]]
         batch = {k: np.stack([t[k] for t in targets])
                  for k in ("time_sig", "key", "upper", "upper_lengths",
                            "lower", "lower_lengths")}

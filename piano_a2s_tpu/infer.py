@@ -156,12 +156,19 @@ class Transcriber:
         batches run at `batch_size` (the final one padded by repeating its
         last clip) so one compiled program serves the whole stream.
         """
+        # Validate at CALL time (this wrapper is not a generator), so a
+        # misconfiguration raises where it happens, not at the consumer's
+        # first next().
         if batch_size <= 0 or depth < 0:
             raise ValueError("batch_size must be >0 and depth >=0")
         if self.mesh is not None and batch_size % self.mesh.devices.size:
             raise ValueError(
                 f"batch_size={batch_size} must divide the "
                 f"{self.mesh.devices.size}-device mesh")
+        return self._stream(clips, batch_size, depth)
+
+    def _stream(self, clips, batch_size: int,
+                depth: int) -> Iterator[List[list]]:
         inflight: deque = deque()
 
         def batches():

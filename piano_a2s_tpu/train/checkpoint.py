@@ -74,8 +74,14 @@ class Checkpointer:
                        jax.tree.map(np.asarray, tree))
         with open(os.path.join(path, "host_state.json"), "w") as f:
             json.dump(host_state or {}, f, indent=2)
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        # meta.json is the checkpoint's COMMIT MARKER (it is written last
+        # and _ckpt_dirs requires it), so it must appear atomically — a
+        # kill mid-write must not leave a partial meta.json that makes the
+        # dir enumerable but unparseable.
+        tmp = os.path.join(path, ".meta.json.tmp")
+        with open(tmp, "w") as f:
             json.dump({"unixtime": time.time(), **meta}, f, indent=2)
+        os.replace(tmp, os.path.join(path, "meta.json"))
         return path
 
     def save_and_keep_only(self, trees, meta, host_state=None,
@@ -86,6 +92,15 @@ class Checkpointer:
         of a save killed mid-flight; resume already ignores them, this
         keeps them from accumulating). Safe: saves are sequential within
         the single saving process (process 0)."""
+        # Sweep debris FIRST, unconditionally — the skip-save fast path
+        # below must not let crashed-save dirs accumulate across runs
+        # whose metric never improves again.
+        for d in os.listdir(self.dir):
+            full = os.path.join(self.dir, d)
+            if (d.startswith(CKPT_PREFIX) and os.path.isdir(full)
+                    and not os.path.exists(os.path.join(full,
+                                                        "meta.json"))):
+                shutil.rmtree(full)
         existing = self._ckpt_dirs()
         if existing:
             # Saving a checkpoint that keep-only-best would immediately
@@ -113,12 +128,6 @@ class Checkpointer:
         for c in ckpts:
             if c not in keep:
                 shutil.rmtree(c)
-        for d in os.listdir(self.dir):
-            full = os.path.join(self.dir, d)
-            if (d.startswith(CKPT_PREFIX) and os.path.isdir(full)
-                    and not os.path.exists(os.path.join(full,
-                                                        "meta.json"))):
-                shutil.rmtree(full)
         return path
 
     # -- load ---------------------------------------------------------------

@@ -59,10 +59,12 @@ def main():
 
     if args.config:
         from piano_a2s_tpu.config import load_experiment
-        cfg = load_experiment(args.config).model_config()
+        exp = load_experiment(args.config)
+        tr = load_transcriber(args.checkpoint, cfg=exp.model_config(),
+                              vqt_cfg=exp.vqt_config(),
+                              max_frame_num=exp.max_frame_num)
     else:
-        cfg = ModelConfig()
-    tr = load_transcriber(args.checkpoint, cfg=cfg)
+        tr = load_transcriber(args.checkpoint, cfg=ModelConfig())
 
     base = os.path.join(args.feature_folder, args.split, args.version)
     audio_dir = os.path.join(base, "audio")

@@ -155,6 +155,10 @@ def test_partial_checkpoint_ignored_and_swept(tmp_path):
         {"params": {"w": 9 * np.ones(3, np.float32)}}, {"WER": 7.0},
         {"epoch": 2}, min_keys=("WER",))
     assert worse == good and ckptr._ckpt_dirs() == [good]
+    # debris is swept even on the skip-save path (non-improving epochs
+    # are the common case after a crash late in training)
+    assert not os.path.exists(partial)
+    os.makedirs(os.path.join(partial, "params"))  # fresh debris
     trees2 = {"params": {"w": 2 * np.ones(3, np.float32)}}
     ckptr.save_and_keep_only(trees2, {"WER": 4.0}, {"epoch": 2},
                              min_keys=("WER",))

@@ -38,7 +38,7 @@ def test_mesh_transcriber_matches_single_device():
     # divide the mesh) and yields the same results.
     c = list(meshy.transcribe_stream(clips, batch_size=8, depth=2))
     assert c == a
-    # non-divisible batch size is rejected up front
+    # non-divisible batch size is rejected at CALL time (no next() needed)
     import pytest
     with pytest.raises(ValueError):
-        next(meshy.transcribe_stream(clips, batch_size=3))
+        meshy.transcribe_stream(clips, batch_size=3)

@@ -77,9 +77,13 @@ def main(argv=None):
     else:
         # Many files: the pipelined serving stream — audio is read
         # lazily, several batches stay in flight on the device, and
-        # results arrive incrementally in input order.
+        # results arrive incrementally in input order. Cap the batch at
+        # the next power of two >= #inputs so e.g. 5 files pad to 8
+        # decoded clips, not to the full default batch of 16.
+        pow2 = 1 << (len(args.inputs) - 1).bit_length()
         results = tr.transcribe_stream(clip_gen(),
-                                       batch_size=args.batch_size,
+                                       batch_size=min(args.batch_size,
+                                                      pow2),
                                        depth=3)
     used = set()
     n = 0
