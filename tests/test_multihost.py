@@ -48,7 +48,9 @@ def _launch(workdir: str, mode: str):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=480)
+        # 900 s: two jax.distributed processes compiling on a fully
+        # loaded CI host have been observed to exceed 480 s.
+        out, _ = p.communicate(timeout=900)
         outs.append((p.returncode, out))
     return outs
 
