@@ -34,6 +34,9 @@ round-over-round (clips/s unless noted):
                           B=32 effective via accum_steps=4, decode scans
                           bucketed at 64 tokens (real bars are ~10-40
                           tokens)
+  train_b32_accum4_bucket64_bf16  same + mixed-precision conv stack
+                          (extras train_dtype: bfloat16 — bf16 matmuls
+                          and saved activations, f32 BN/params/decoder)
   train_fit_e2e           Trainer.fit() end-to-end (loader + bucketing +
                           accumulation + validation + checkpointing) at
                           full size, steady-state epochs only
@@ -113,7 +116,7 @@ def measure_ours(decode_dtype=None, eos_bias: float = 0.0) -> float:
 
 
 def measure_train(batch_size: int, max_length=None,
-                  accum_steps: int = 1) -> float:
+                  accum_steps: int = 1, train_dtype=None) -> float:
     """Full training-step throughput (forward + backward + Adadelta),
     clips/s at the given batch size and decode-scan caps."""
     import dataclasses
@@ -133,7 +136,12 @@ def measure_train(batch_size: int, max_length=None,
     state = init_state(cfg)
     opt = make_optimizer(lr=1.0)
     opt_state = opt.init(params)
-    t_step, _ = make_jitted_steps(opt, cfg, accum_steps=accum_steps)
+    conv_dtype = None
+    if train_dtype:
+        import jax.numpy as jnp
+        conv_dtype = jnp.bfloat16
+    t_step, _ = make_jitted_steps(opt, cfg, accum_steps=accum_steps,
+                                  conv_dtype=conv_dtype)
     rng = np.random.RandomState(0)
     b = batch_size
     batch = {
@@ -305,6 +313,9 @@ def main():
             measure_train(16, accum_steps=2), 2)
         configs["train_b32_accum4_bucket64"] = round(
             measure_train(32, max_length=(64, 64), accum_steps=4), 2)
+        configs["train_b32_accum4_bucket64_bf16"] = round(
+            measure_train(32, max_length=(64, 64), accum_steps=4,
+                          train_dtype="bfloat16"), 2)
         configs["train_fit_e2e"] = round(measure_train_fit(), 2)
         record["configs"] = configs
     print(json.dumps(record))

@@ -162,14 +162,25 @@ def init_state(cfg: ModelConfig = ModelConfig()) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def conv_stack_apply(params, state, x: jnp.ndarray, train: bool,
-                     rng) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+                     rng, compute_dtype=None
+                     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """x: (B, 1, T, F) -> (B, T, conv_feature_size). NHWC internally.
 
     Inference folds each BatchNorm (running stats = a per-channel affine)
     into the preceding conv's weights / the flatten linear's weights:
     y = relu(conv(x, w*g) + (beta - mean*g)) with g = scale*rsqrt(var+eps).
     Exact algebraic rewrite; removes a full elementwise pass (and its XLA
-    layout copy) over the ~GB conv activation tensors per layer."""
+    layout copy) over the ~GB conv activation tensors per layer.
+
+    compute_dtype (train path only; e.g. jnp.bfloat16): mixed-precision
+    conv training — conv/linear matmuls run in compute_dtype and the
+    MATERIALIZED inter-layer activations (what autodiff saves for the
+    conv weight gradients, ~1.9 GB/batch-element in f32) are stored in
+    it, while BatchNorm statistics and normalization are computed in
+    f32 (the up/down casts fuse into the surrounding elementwise ops, so
+    no f32 activation tensor is materialized). Params stay f32; their
+    gradients arrive through the cast and accumulate in f32. bf16 shares
+    f32's exponent range, so no loss scaling is needed."""
     p, s = params, state
     y = jnp.transpose(x, (0, 2, 3, 1))  # NHWC
     new_s = {}
@@ -200,22 +211,38 @@ def conv_stack_apply(params, state, x: jnp.ndarray, train: bool,
         y = jax.nn.relu(y @ w.astype(dt) + bias.astype(dt))
         new_s["out_bn"] = bn_s
         return y, new_s
+    if compute_dtype is not None:
+        cast_p = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: a.astype(compute_dtype)
+            if a.dtype == jnp.float32 else a, t)
+        y = y.astype(compute_dtype)
+    else:
+        cast_p = lambda t: t  # noqa: E731
+    fdt = jnp.promote_types(y.dtype, jnp.float32)
+
+    def bn_f32(bn_p, bn_s, v, axes):
+        # Statistics and normalization in >=f32; output back in the
+        # activation dtype. The casts fuse with the adjacent elementwise
+        # chain, so no full-resolution f32 tensor is materialized.
+        out, ns = L.batch_norm(bn_p, bn_s, v.astype(fdt), axes=axes,
+                               train=train)
+        return out.astype(v.dtype), ns
+
     for i, ch in zip((1, 2, 3, 4), (20, 20, 40, 40)):
-        y = L.conv2d_same(p[f"conv{i}"], y)
-        y, new_s[f"bn{i}"] = L.batch_norm(p[f"bn{i}"], s[f"bn{i}"], y,
-                                          axes=(0, 1, 2), train=train)
+        y = L.conv2d_same(cast_p(p[f"conv{i}"]), y)
+        y, new_s[f"bn{i}"] = bn_f32(p[f"bn{i}"], s[f"bn{i}"], y,
+                                    axes=(0, 1, 2))
         y = jax.nn.relu(y)
         del ch
     b, t, f, c = y.shape
     # Flatten freq x channel. NHWC order (f*c + c_idx); the checkpoint
     # converter permutes torch's (c*F + f) columns to match.
     y = y.reshape(b, t, f * c)
-    y = L.linear(p["out"], y)
-    y, new_s["out_bn"] = L.batch_norm(p["out_bn"], s["out_bn"], y,
-                                      axes=(0, 1), train=train)
+    y = L.linear(cast_p(p["out"]), y)
+    y, new_s["out_bn"] = bn_f32(p["out_bn"], s["out_bn"], y, axes=(0, 1))
     y = jax.nn.relu(y)
     y = L.dropout(rng, y, 0.2, train)
-    return y, new_s
+    return y.astype(fdt), new_s
 
 
 def encoder_apply(params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -618,7 +645,7 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
 def forward(params, state, spectrogram: jnp.ndarray, rng,
             cfg: ModelConfig = ModelConfig(), train: bool = False,
             ground_truth=None, tf_ratio=0.0, decode_dtype=None,
-            emit_full: bool = True):
+            emit_full: bool = True, conv_dtype=None):
     """Full model forward.
 
     spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
@@ -626,10 +653,13 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
     aux dict), new_state). decode_dtype=jnp.bfloat16 enables the
     reduced-precision decode loop; emit_full=False (training only) returns
     gt-picked log-probs (B,bars,T) in place of the upper/lower
-    distributions — see hierarchical_decoder_apply.
+    distributions — see hierarchical_decoder_apply. conv_dtype (train
+    path; e.g. jnp.bfloat16) enables mixed-precision conv-stack TRAINING
+    — see conv_stack_apply's compute_dtype.
     """
     k_conv, k_dec = jax.random.split(rng)
     conv_x = spectrogram
+    compute_dtype = None
     if decode_dtype is not None and not train:
         # Reduced-precision serving also runs the conv frontend in
         # decode_dtype: XLA already converts conv INPUTS to bf16 on the MXU
@@ -638,8 +668,11 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
         # and layout-copy cost without changing the multiply precision.
         # Full f32 resumes at the encoder input.
         conv_x = spectrogram.astype(decode_dtype)
+    elif conv_dtype is not None and train:
+        compute_dtype = conv_dtype
     feats, new_conv_state = conv_stack_apply(
-        params["convstack"], state["convstack"], conv_x, train, k_conv)
+        params["convstack"], state["convstack"], conv_x, train, k_conv,
+        compute_dtype=compute_dtype)
     # bf16 frontend output promotes back to f32 for the encoder; f32/f64
     # pass through unchanged (x64 parity runs stay f64).
     feats = feats.astype(jnp.promote_types(feats.dtype, jnp.float32))

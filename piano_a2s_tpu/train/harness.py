@@ -54,9 +54,22 @@ class Trainer:
             raise ValueError(
                 f"accum_steps={self.accum_steps} must divide "
                 f"batch_size={exp.batch_size}")
+        # Mixed-precision conv-stack training (extras: train_dtype:
+        # bfloat16). f32 decoder/losses/params; see step.py / DESIGN §2b.
+        self.conv_dtype = None
+        train_dtype = exp.extras.get("train_dtype")
+        if train_dtype not in (None, "", "float32", "f32"):
+            import jax.numpy as jnp
+            try:
+                self.conv_dtype = {"bfloat16": jnp.bfloat16,
+                                   "bf16": jnp.bfloat16}[str(train_dtype)]
+            except KeyError:
+                raise ValueError(
+                    f"train_dtype={train_dtype!r}: supported values are "
+                    f"'bfloat16' (or 'float32' for the default)") from None
         self.train_step, self.eval_step = make_jitted_steps(
             self.optimizer, self.cfg, mesh=self.mesh,
-            accum_steps=self.accum_steps)
+            accum_steps=self.accum_steps, conv_dtype=self.conv_dtype)
         # Length-bucketed train steps: the decode scan length is static, so
         # batches whose longest target is far below the 398/189 caps run a
         # shorter compiled variant (loss/gradient-exact: positions past the
@@ -230,7 +243,8 @@ class Trainer:
             cfg_b = dataclasses.replace(self.cfg, max_length=(bu, bl))
             self._bucket_steps[key] = make_jitted_steps(
                 self.optimizer, cfg_b, mesh=self.mesh,
-                accum_steps=self.accum_steps)[0]
+                accum_steps=self.accum_steps,
+                conv_dtype=self.conv_dtype)[0]
         batch = dict(batch)
         batch["upper"] = batch["upper"][:, :, :bu]
         batch["lower"] = batch["lower"][:, :, :bl]

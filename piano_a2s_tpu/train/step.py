@@ -52,18 +52,20 @@ class StepOutput(NamedTuple):
 
 def train_step(params, opt_state, state, batch, rng, tf_ratio,
                optimizer: optax.GradientTransformation,
-               cfg: ModelConfig):
+               cfg: ModelConfig, conv_dtype=None):
     """Pure train step: returns (params, opt_state, state, StepOutput).
 
     Uses the fused-loss forward (emit_full=False): the per-step gt-picked
     log-probs feed the NLL directly, so the (B, bars, T, V) staff
-    distributions (22 GB at B=16) are never materialized."""
+    distributions (22 GB at B=16) are never materialized.
+    conv_dtype=jnp.bfloat16 runs the conv stack in mixed precision
+    (matmuls + saved activations bf16, BN stats f32)."""
 
     def loss_fn(p):
         outs, new_state = forward(
             p, state, batch["spectrogram"], rng, cfg=cfg, train=True,
             ground_truth=_ground_truth(batch), tf_ratio=tf_ratio,
-            emit_full=False)
+            emit_full=False, conv_dtype=conv_dtype)
         loss, comps = transcription_loss_fused(
             outs, batch, cfg.pad,
             sample_weight=batch.get("sample_weight"))
@@ -91,7 +93,7 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
 
 def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
                      optimizer: optax.GradientTransformation,
-                     cfg: ModelConfig, accum_steps: int):
+                     cfg: ModelConfig, accum_steps: int, conv_dtype=None):
     """Gradient-accumulation train step: the batch is split into
     `accum_steps` microbatches scanned sequentially, so the compiled
     program's activation footprint (and the XLA program the remote
@@ -125,7 +127,7 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
         outs, new_st = forward(
             p, state, mb["spectrogram"], key, cfg=cfg, train=True,
             ground_truth=_ground_truth(mb), tf_ratio=tf_ratio,
-            emit_full=False)
+            emit_full=False, conv_dtype=conv_dtype)
         nums = fused_component_sums(outs, mb, cfg.pad,
                                     sample_weight=mb.get("sample_weight"))
         loss_mb = sum(nums[k] / totals[k] for k in sorted(nums))
@@ -193,18 +195,22 @@ def eval_step(params, state, batch, cfg: ModelConfig):
 
 
 def make_jitted_steps(optimizer: optax.GradientTransformation,
-                      cfg: ModelConfig, mesh=None, accum_steps: int = 1):
+                      cfg: ModelConfig, mesh=None, accum_steps: int = 1,
+                      conv_dtype=None):
     """Compile the steps. With a mesh, batches are sharded along the leading
     (batch) axis of the `data` mesh axis and params/opt/state are replicated;
     XLA inserts the gradient all-reduce (psum over ICI) automatically.
     accum_steps>1 scans over that many microbatches per update
     (train_step_accum) — the batch's leading axis must be divisible by it.
+    conv_dtype=jnp.bfloat16 enables mixed-precision conv-stack training
+    (eval steps are unaffected — eval precision is decode_dtype's domain).
     """
     if accum_steps > 1:
         t_step = partial(train_step_accum, optimizer=optimizer, cfg=cfg,
-                         accum_steps=accum_steps)
+                         accum_steps=accum_steps, conv_dtype=conv_dtype)
     else:
-        t_step = partial(train_step, optimizer=optimizer, cfg=cfg)
+        t_step = partial(train_step, optimizer=optimizer, cfg=cfg,
+                         conv_dtype=conv_dtype)
     e_step = partial(eval_step, cfg=cfg)
     if mesh is None:
         return (jax.jit(t_step, donate_argnums=(0, 1, 2)),

@@ -1,0 +1,141 @@
+"""Mixed-precision (bf16 conv stack) training: numerics stay close to
+f32, params/BN state stay f32, learning still works, and the option
+composes with accumulation and the harness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from piano_a2s_tpu.models import ModelConfig, init_params, init_state
+from piano_a2s_tpu.train.step import make_jitted_steps, make_optimizer
+
+CFG = ModelConfig(freq_bins=16, conv_feature_size=24, hidden_size=16,
+                  max_bars=2, max_length=(8, 6), note_emb_size=8,
+                  staff_emb_size=8)
+B, T_ENC = 4, 20
+
+
+def _batch(b=B, seed=0):
+    rng = np.random.RandomState(seed)
+    batch = {
+        "spectrogram": rng.randn(b, 1, T_ENC, CFG.freq_bins)
+        .astype(np.float32),
+        "time_sig": rng.randint(0, 7, (b, CFG.max_bars)),
+        "key": rng.randint(0, 14, (b, CFG.max_bars)),
+        "upper": rng.randint(0, 140, (b, CFG.max_bars, CFG.max_length[0])),
+        "upper_lengths": rng.randint(2, CFG.max_length[0],
+                                     (b, CFG.max_bars)),
+        "lower": rng.randint(0, 140, (b, CFG.max_bars, CFG.max_length[1])),
+        "lower_lengths": rng.randint(2, CFG.max_length[1],
+                                     (b, CFG.max_bars)),
+    }
+    for staff, cap in (("upper", CFG.max_length[0]),
+                       ("lower", CFG.max_length[1])):
+        toks, lens = batch[staff], batch[f"{staff}_lengths"]
+        pos = np.arange(cap)
+        toks[pos[None, None, :] >= lens[..., None]] = CFG.pad
+    return batch
+
+
+def _fresh():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    opt = make_optimizer(lr=1.0)
+    return params, opt, opt.init(params), init_state(CFG)
+
+
+def test_bf16_step_close_to_f32_and_dtypes_preserved():
+    batch = _batch()
+    # NOTE: the steps donate params/opt/state — every call needs fresh
+    # trees, and the init snapshot must be host copies.
+    params0 = jax.tree.map(np.array, init_params(jax.random.PRNGKey(0),
+                                                 CFG))
+    params, opt, opt_state, state = _fresh()
+    t32, _ = make_jitted_steps(opt, CFG)
+    p32, o32, s32, out32 = t32(params, opt_state, state, batch,
+                               jax.random.PRNGKey(1), 1.0)
+
+    params, opt, opt_state, state = _fresh()
+    tbf, _ = make_jitted_steps(opt, CFG, conv_dtype=jnp.bfloat16)
+    pbf, obf, sbf, outbf = tbf(params, opt_state, state, batch,
+                               jax.random.PRNGKey(1), 1.0)
+    params = params0
+
+    # same objective at bf16 tolerance (conv matmuls in bf16)
+    np.testing.assert_allclose(float(outbf.loss), float(out32.loss),
+                               rtol=3e-2)
+    # master params, optimizer state, and BN running stats remain f32
+    for leaf in jax.tree.leaves(pbf) + jax.tree.leaves(sbf):
+        assert np.asarray(leaf).dtype == np.float32
+    # the update moved params comparably (not zeroed/NaN by the cast)
+    d32 = np.concatenate([np.ravel(a - b) for a, b in
+                          zip(jax.tree.leaves(p32),
+                              jax.tree.leaves(params))])
+    dbf = np.concatenate([np.ravel(a - b) for a, b in
+                          zip(jax.tree.leaves(pbf),
+                              jax.tree.leaves(params))])
+    assert np.isfinite(dbf).all()
+    assert np.linalg.norm(dbf) == pytest.approx(np.linalg.norm(d32),
+                                                rel=0.2)
+
+
+def test_bf16_composes_with_accumulation():
+    batch = _batch(b=4)
+    params, opt, opt_state, state = _fresh()
+    t_acc, _ = make_jitted_steps(opt, CFG, accum_steps=2,
+                                 conv_dtype=jnp.bfloat16)
+    p, o, s, out = t_acc(params, opt_state, state, batch,
+                         jax.random.PRNGKey(2), 0.7)
+    assert np.isfinite(float(out.loss))
+    for leaf in jax.tree.leaves(s):
+        assert np.asarray(leaf).dtype == np.float32
+
+
+def test_bf16_loss_decreases_over_steps():
+    batch = _batch()
+    params, opt, opt_state, state = _fresh()
+    t_step, _ = make_jitted_steps(opt, CFG, conv_dtype=jnp.bfloat16)
+    losses = []
+    p, o, s = params, opt_state, state
+    for i in range(6):
+        p, o, s, out = t_step(p, o, s, batch, jax.random.PRNGKey(10), 1.0)
+        losses.append(float(out.loss))
+    assert losses[-1] < losses[0]
+
+
+def test_harness_train_dtype_extras(tmp_path):
+    from test_harness_e2e import _make_fixture
+    from piano_a2s_tpu.config import ExperimentConfig
+    from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,
+                                    SyntheticTrainDataset)
+    from piano_a2s_tpu.train.harness import Trainer
+
+    root = str(tmp_path / "features")
+    _make_fixture(root, "train", 0)
+    _make_fixture(root, "valid", 0, n_songs=2, seed=1)
+    out = str(tmp_path / "out")
+    exp = ExperimentConfig(
+        seed=7, workspace=str(tmp_path), output_folder=out,
+        feature_folder=root, save_folder=f"{out}/save",
+        train_log=f"{out}/train_log.txt",
+        max_length=(8, 6), max_bars=2, max_duration=1, frames_per_second=23,
+        bins_per_octave=4, n_octaves=4, number_of_epochs=1, batch_size=2,
+        conv_feature_size=16, hidden_size=16, note_emb_size=8,
+        staff_emb_size=8)
+    exp.extras["train_dtype"] = "bfloat16"
+    trainer = Trainer(exp)
+    assert trainer.conv_dtype == jnp.bfloat16
+    train_ds = SyntheticTrainDataset(
+        root, "train", versions=[0], max_frame_num=exp.max_frame_num,
+        max_length=exp.max_length, rng=np.random.RandomState(0))
+    valid_ds = SyntheticTestDataset(
+        root, "valid", versions=[0], max_frame_num=exp.max_frame_num,
+        max_length=exp.max_length)
+    trainer.fit(DataLoader(train_ds, 2, shuffle=True, seed=0),
+                DataLoader(valid_ds, 2))
+    assert np.isfinite(trainer.train_stats["loss"])
+
+    exp.extras["train_dtype"] = "int8"
+    with pytest.raises(ValueError):
+        Trainer(exp)
