@@ -206,6 +206,12 @@ def get_muster_er(results_dir: str,
         try:
             pred = os.path.join(pred_folder, file + "_pred")
             target = os.path.join(target_folder, file + "_target")
+            # Deliberate divergence from the reference: MUSTER writes
+            # ER.txt into the cwd, and evaluate.py:149-152 reads it with
+            # no freshness check — a failed run silently re-counts the
+            # PREVIOUS pair's numbers. Unlink first so a failure skips.
+            if os.path.exists("ER.txt"):
+                os.remove("ER.txt")
             subprocess.run([muster_script, pred, target, "ER"],
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL, timeout=30)

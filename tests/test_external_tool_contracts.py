@@ -33,6 +33,7 @@ from piano_a2s_tpu.symbolic.midi_io import (MidiEvent, MidiFile, read_midi,
                                             write_midi_file)
 from piano_a2s_tpu.train.evaluate_offline import (MV2H_KEYS,
                                                   get_mv2h_from_test,
+                                                  get_muster_er,
                                                   run_mv2h_pair)
 from piano_a2s_tpu.utils.audio import read_wav, write_wav
 
@@ -428,6 +429,121 @@ def test_render_all_midi_soundfont_naming(fake_bin, tmp_path, monkeypatch):
     test_wavs = sorted(os.listdir(feat / "test" / "0" / "wav"))
     assert test_wavs == sorted(f"song~{sf[:-4]}.wav"
                                for sf in TEST_SOUNDFONTS)
+
+
+# ---------------------------------------------------------------------------
+# MUSTER wrapper (get_muster_er)
+# ---------------------------------------------------------------------------
+
+FAKE_MUSTER = '''#!{python}
+"""Fake MUSTER evaluate_XML_voicePlus.sh.
+
+Validates the argv contract (pred_path target_path ER — reference:
+evaluate.py:149) and replays the real tool's output contract: MUSTER
+writes an ER.txt CSV into the CALLER'S cwd whose comma-field 12 carries
+a label plus the 11 tab-joined error-rate components (the parse at
+reference evaluate.py:150-152).
+"""
+import os, sys
+
+pred, target, mode = sys.argv[1], sys.argv[2], sys.argv[3]
+assert mode == "ER", sys.argv
+log = os.environ.get("FAKE_MUSTER_LOG")
+if log:
+    with open(log, "a") as f:
+        f.write(" ".join(sys.argv[1:]) + chr(10))
+name = os.path.basename(pred)
+assert name.endswith("_pred"), pred
+assert os.path.basename(target).endswith("_target"), target
+assert os.path.exists(pred) and os.path.exists(target)
+if "failclip" in name:
+    sys.exit(1)  # dies before writing ER.txt
+if "nanclip" in name:
+    vals = ["nan"] * 11
+else:
+    vals = [str(round(0.1 * (i + 1), 1)) for i in range(11)]
+line = ",".join(["x"] * 12 + ["ER" + chr(9) + chr(9).join(vals)])
+with open("ER.txt", "w") as f:
+    f.write(line + chr(10))
+'''
+
+
+def _install_fake_muster(tmp_path, monkeypatch):
+    script = tmp_path / "evaluate_XML_voicePlus.sh"
+    script.write_text(FAKE_MUSTER.format(python=sys.executable))
+    script.chmod(script.stat().st_mode | stat.S_IXUSR)
+    log = tmp_path / "muster.log"
+    monkeypatch.setenv("FAKE_MUSTER_LOG", str(log))
+    # get_muster_er reads ER.txt from the cwd (the MUSTER tool's contract)
+    monkeypatch.chdir(tmp_path)
+    return str(script), log
+
+
+def _make_muster_fixture(root, names):
+    """The on-disk layout get_muster_er scans: one mv2h JSON per scored
+    clip plus the exported score pair (reference: evaluate.py:138-148)."""
+    for sub in ("mv2h", "scores/pred", "scores/target"):
+        os.makedirs(os.path.join(root, "results", sub), exist_ok=True)
+    for name in names:
+        with open(os.path.join(root, "results", "mv2h",
+                               name + "_mv2h.json"), "w") as f:
+            json.dump({"MV2H": 1.0}, f)
+        for side in ("pred", "target"):
+            with open(os.path.join(root, "results", "scores", side,
+                                   f"{name}_{side}"), "w") as f:
+                f.write("<score/>")
+
+
+def test_get_muster_er_contract(tmp_path, monkeypatch):
+    """Non-skip path: invocation argv, cwd ER.txt parse, 11-component
+    mean over the parseable clips; nan rows skipped (reference:
+    evaluate.py:145-163)."""
+    script, log = _install_fake_muster(tmp_path, monkeypatch)
+    root = str(tmp_path / "out")
+    _make_muster_fixture(root, ["aclip", "bclip", "nanclip"])
+
+    ers, n = get_muster_er(root, muster_script=script)
+
+    assert n == 2  # nanclip parsed but skipped as NaN
+    np.testing.assert_allclose(
+        ers, [0.1 * (i + 1) for i in range(11)], rtol=1e-6)
+    calls = [c.split() for c in log.read_text().splitlines()]
+    assert [os.path.basename(c[0]) for c in calls] == \
+        ["aclip_pred", "bclip_pred", "nanclip_pred"]  # sorted enumeration
+    assert calls[0][0] == os.path.join(root, "results", "scores", "pred",
+                                       "aclip_pred")
+    assert calls[0][1] == os.path.join(root, "results", "scores", "target",
+                                       "aclip_target")
+    assert all(c[2] == "ER" for c in calls)
+
+
+def test_get_muster_er_failure_skips_not_recounts(tmp_path, monkeypatch):
+    """A MUSTER run that dies before writing ER.txt is SKIPPED. (The
+    reference would silently re-parse the previous pair's stale cwd
+    ER.txt — evaluate.py:149-152 has no freshness check — and count it
+    twice; our wrapper unlinks ER.txt before each run instead. Annotated
+    divergence in get_muster_er.)"""
+    script, log = _install_fake_muster(tmp_path, monkeypatch)
+    root = str(tmp_path / "out")
+    _make_muster_fixture(root, ["aclip", "failclip"])
+
+    ers, n = get_muster_er(root, muster_script=script)
+
+    assert n == 1
+    np.testing.assert_allclose(
+        ers, [0.1 * (i + 1) for i in range(11)], rtol=1e-6)
+    assert len(log.read_text().splitlines()) == 2  # both were attempted
+    assert not os.path.exists("ER.txt")  # failclip's unlink was last
+
+
+def test_get_muster_er_no_tool_returns_zero(tmp_path, monkeypatch):
+    """Graceful skip when the MUSTER tool is absent entirely."""
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "out")
+    _make_muster_fixture(root, ["aclip"])
+    ers, n = get_muster_er(root, muster_script=str(tmp_path / "missing.sh"))
+    assert n == 0
+    assert (ers == 0).all()
 
 
 def test_fake_binaries_resolve_first(fake_bin):
