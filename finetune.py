@@ -23,6 +23,11 @@ def main(argv=None):
     parser.add_argument("hparams")
     parser.add_argument("overrides", nargs="*")
     parser.add_argument("--data-parallel", action="store_true")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() so the "
+                             "mesh spans all hosts (DCN between hosts); "
+                             "the reference's torchrun finetune analog "
+                             "(reference: README.md:129-132)")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. 'cpu'; the TPU "
                              "plugin ignores the JAX_PLATFORMS env var)")
@@ -31,6 +36,9 @@ def main(argv=None):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from piano_a2s_tpu.parallel import distributed_init
+        distributed_init()
 
     from piano_a2s_tpu.config import load_experiment
     from piano_a2s_tpu.data import ASAPDataset, DataLoader

@@ -9,5 +9,5 @@ not implemented.
 """
 
 from .mesh import (  # noqa: F401
-    local_row_range, make_mesh, put_batch, put_batch_process_local,
-    put_replicated, replicate, shard_batch)
+    distributed_init, local_row_range, make_mesh, put_batch,
+    put_batch_process_local, put_replicated, replicate, shard_batch)

@@ -10,6 +10,26 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def distributed_init(**kwargs) -> None:
+    """jax.distributed.initialize() + collective-context warm-up.
+
+    The warm-up barrier matters: XLA's CPU (Gloo) — and in general any
+    lazily-created — collective context is established at the FIRST
+    cross-process collective execution, under a hard internal rendezvous
+    deadline (~30 s for Gloo's key-value exchange). In a real run the
+    first collective fires only after each process has compiled its step
+    functions, and compile times diverge between loaded hosts — blowing
+    that deadline looks like `Gloo context initialization failed:
+    DEADLINE_EXCEEDED`. Right after initialize() returns, every process
+    is still in lockstep from the coordinator handshake, so establishing
+    the context here makes later collectives immune to compile skew.
+    """
+    jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("piano_a2s_tpu:startup")
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first n_devices devices.

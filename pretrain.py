@@ -42,8 +42,8 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.platform)
     if args.multihost:
-        import jax
-        jax.distributed.initialize()
+        from piano_a2s_tpu.parallel import distributed_init
+        distributed_init()
 
     from piano_a2s_tpu.config import load_experiment
     from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,

@@ -39,9 +39,18 @@ force_virtual_cpu_devices(4)
 import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
-jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                           num_processes=num_processes,
-                           process_id=process_id)
+
+from piano_a2s_tpu.parallel import distributed_init  # noqa: E402
+
+# distributed_init's post-initialize barrier establishes the Gloo
+# collective context while the processes are still in lockstep; without
+# it, compile-time skew between loaded workers can blow Gloo's internal
+# ~30 s context-init deadline at the FIRST real collective (observed as
+# "Gloo context initialization failed: DEADLINE_EXCEEDED" when the full
+# suite shares the host with other load).
+distributed_init(coordinator_address=f"localhost:{port}",
+                 num_processes=num_processes,
+                 process_id=process_id)
 
 from piano_a2s_tpu.config import ExperimentConfig  # noqa: E402
 from piano_a2s_tpu.data import (DataLoader, SyntheticTestDataset,  # noqa: E402
