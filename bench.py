@@ -139,7 +139,10 @@ def measure_train(batch_size: int, max_length=None,
     conv_dtype = None
     if train_dtype:
         import jax.numpy as jnp
-        conv_dtype = jnp.bfloat16
+        # Same accepted values as the harness (train/harness.py); reject
+        # anything else so a mislabeled config can't silently bench bf16.
+        conv_dtype = {"bfloat16": jnp.bfloat16,
+                      "bf16": jnp.bfloat16}[str(train_dtype)]
     t_step, _ = make_jitted_steps(opt, cfg, accum_steps=accum_steps,
                                   conv_dtype=conv_dtype)
     rng = np.random.RandomState(0)

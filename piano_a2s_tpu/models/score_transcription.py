@@ -242,7 +242,9 @@ def conv_stack_apply(params, state, x: jnp.ndarray, train: bool,
     y, new_s["out_bn"] = bn_f32(p["out_bn"], s["out_bn"], y, axes=(0, 1))
     y = jax.nn.relu(y)
     y = L.dropout(rng, y, 0.2, train)
-    return y.astype(fdt), new_s
+    # Returned in the activation/compute dtype (like the eval path);
+    # forward() owns the single promotion back to >=f32 for the encoder.
+    return y, new_s
 
 
 def encoder_apply(params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

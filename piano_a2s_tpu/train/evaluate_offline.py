@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import shutil
 import subprocess
 from typing import Dict, List, Optional
 
@@ -201,6 +202,10 @@ def get_muster_er(results_dir: str,
     mv2h_folder = os.path.join(results_dir, "results", "mv2h")
     files = [f[:-10] for f in os.listdir(mv2h_folder) if f.endswith(".json")]
     ers = np.zeros(11)
+    if not (os.path.exists(muster_script) or shutil.which(muster_script)):
+        # Graceful skip WITHOUT touching cwd state: the per-pair unlink
+        # below would otherwise destroy a user's ER.txt for nothing.
+        return ers, 0
     i = 0
     for file in sorted(files):
         try:

@@ -66,8 +66,10 @@ def test_bf16_step_close_to_f32_and_dtypes_preserved():
     np.testing.assert_allclose(float(outbf.loss), float(out32.loss),
                                rtol=3e-2)
     # master params, optimizer state, and BN running stats remain f32
-    for leaf in jax.tree.leaves(pbf) + jax.tree.leaves(sbf):
-        assert np.asarray(leaf).dtype == np.float32
+    for leaf in (jax.tree.leaves(pbf) + jax.tree.leaves(sbf)
+                 + jax.tree.leaves(obf)):
+        dt = np.asarray(leaf).dtype
+        assert dt == np.float32 or np.issubdtype(dt, np.integer), dt
     # the update moved params comparably (not zeroed/NaN by the cast)
     d32 = np.concatenate([np.ravel(a - b) for a, b in
                           zip(jax.tree.leaves(p32),

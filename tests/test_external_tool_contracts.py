@@ -537,13 +537,16 @@ def test_get_muster_er_failure_skips_not_recounts(tmp_path, monkeypatch):
 
 
 def test_get_muster_er_no_tool_returns_zero(tmp_path, monkeypatch):
-    """Graceful skip when the MUSTER tool is absent entirely."""
+    """Graceful skip when the MUSTER tool is absent entirely — and the
+    skip must NOT touch cwd state (a user's own ER.txt survives)."""
     monkeypatch.chdir(tmp_path)
+    (tmp_path / "ER.txt").write_text("user's own file\n")
     root = str(tmp_path / "out")
     _make_muster_fixture(root, ["aclip"])
     ers, n = get_muster_er(root, muster_script=str(tmp_path / "missing.sh"))
     assert n == 0
     assert (ers == 0).all()
+    assert (tmp_path / "ER.txt").read_text() == "user's own file\n"
 
 
 def test_fake_binaries_resolve_first(fake_bin):
