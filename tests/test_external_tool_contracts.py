@@ -117,8 +117,12 @@ assert os.path.exists(src), f"input {{src}} does not exist"
 if os.environ.get("FAKE_VEROVIO_FAIL"):
     sys.exit(1)
 if args[3] == "hum":
-    with open(dst, "w") as f:
-        f.write("**kern" + chr(10) + "*-" + chr(10))
+    hum = os.environ.get("FAKE_VEROVIO_HUM")
+    if hum:
+        shutil.copy(hum, dst)
+    else:
+        with open(dst, "w") as f:
+            f.write("**kern" + chr(10) + "*-" + chr(10))
 else:
     shutil.copy(os.environ["FAKE_VEROVIO_MIDI"], dst)
 '''
@@ -157,7 +161,8 @@ def fake_bin(tmp_path, monkeypatch):
         p.chmod(p.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP)
     monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
     for var in ("FAKE_JAVA_SLEEP", "FAKE_JAVA_GARBAGE", "FAKE_JAVA_ZERO_FOR",
-                "FAKE_VEROVIO_FAIL", "FAKE_FLUIDSYNTH_FAIL"):
+                "FAKE_VEROVIO_FAIL", "FAKE_VEROVIO_HUM",
+                "FAKE_FLUIDSYNTH_FAIL"):
         monkeypatch.delenv(var, raising=False)
     return bindir
 
