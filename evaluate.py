@@ -40,7 +40,11 @@ def main(argv=None):
         print(f"{folder}: WER/F1 over {n} clips: "
               f"{ {k: round(v, 4) for k, v in metrics.items()} }")
         if have_java and exp.mv2h_bin and os.path.exists(exp.mv2h_bin):
-            errors = get_mv2h_from_test(folder, args.split, exp.mv2h_bin)
+            # 10 s/pair is the reference's contract (evaluate.py:40-60);
+            # mv2h_timeout raises it for slow/loaded hosts.
+            timeout = float(exp.extras.get("mv2h_timeout", 10.0))
+            errors = get_mv2h_from_test(folder, args.split, exp.mv2h_bin,
+                                        timeout=timeout)
             print(f"{folder}: MV2H export errors: {len(errors)}")
             if folder == exp.output_folder and "asap" in exp.feature_folder:
                 m, four, n = summarize_asap_mv2h(folder, split=args.split)

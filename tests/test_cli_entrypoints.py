@@ -13,6 +13,7 @@ import sys
 import numpy as np
 
 from conftest import REPO_ROOT
+from test_external_tool_contracts import fake_bin  # noqa: F401
 from test_harness_e2e import _make_fixture
 
 N_FRAMES = 24
@@ -150,3 +151,45 @@ def test_pretrain_then_finetune_cli(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "WER/F1 over" in r.stdout
     assert "skipping MV2H" in r.stdout
+
+
+def test_evaluate_cli_mv2h_with_fake_java(fake_bin, tmp_path):  # noqa: F811
+    """The evaluate.py CLI's NON-skip MV2H branch: with java on PATH and
+    an existing mv2h_bin, the CLI exports pred/target scores, runs MV2H
+    per pair, and prints the syn summary table (reference:
+    evaluate.py:174-186). The in-process wrapper is contract-tested in
+    test_external_tool_contracts; this pins the CLI gating + wiring."""
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from test_external_tool_contracts import _make_result_fixture
+
+    out = str(tmp_path / "out_eval")
+    toks = LabelsMultiple(extended=True).encode("4c 4c 4c 4c")
+    target = [[0, "4/4", toks, toks]]
+    # Synthetic-format clip id: version~chunk~soundfont.
+    _make_result_fixture(out, "test", "0~songA.0~Upright", target)
+    mv2h_bin = tmp_path / "MV2H" / "bin"
+    mv2h_bin.mkdir(parents=True)
+
+    yaml_path = tmp_path / "eval.yaml"
+    yaml_path.write_text(f"""\
+seed: 7
+workspace: {tmp_path}
+output_folder: {out}
+feature_folder: {tmp_path}/features
+mv2h_bin: {mv2h_bin}
+mv2h_timeout: 120
+""")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"),
+         str(yaml_path)],
+        capture_output=True, text=True, timeout=240, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WER/F1 over 1 clips" in r.stdout
+    assert "skipping MV2H" not in r.stdout
+    assert "MV2H export errors: 0" in r.stdout
+    assert "MV2H over 1 clips" in r.stdout
+    # pred == target -> the fake java replays Multi-pitch 1.0
+    assert "'Multi-pitch': 1.0" in r.stdout
+    mv2h_json = os.path.join(out, "results", "mv2h",
+                             "0~songA.0~Upright_mv2h.json")
+    assert os.path.exists(mv2h_json)
