@@ -55,3 +55,27 @@ def test_transcribe_cli_stream_path(tmp_path):
         for ext in (".krn", ".xml", ".mid"):
             assert os.path.exists(os.path.join(out_dir, f"clip{i}{ext}")), \
                 (i, ext, os.listdir(out_dir))
+
+
+def test_transcribe_cli_npy_inputs(tmp_path):
+    """.npy audio inputs (the synthetic corpus generator's audio/ format)
+    mix with wav inputs on the small-job blocking path."""
+    from piano_a2s_tpu.utils.audio import write_wav
+    rng = np.random.RandomState(1)
+    npy = str(tmp_path / "clip_a.npy")
+    np.save(npy, (0.1 * rng.randn(8000)).astype(np.float32))
+    wav = str(tmp_path / "clip_b.wav")
+    write_wav(wav, 0.1 * rng.randn(8000), 16000)
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML.format(root=tmp_path))
+    out_dir = str(tmp_path / "scores")
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "transcribe.py"), npy, wav,
+         "--out-dir", out_dir, "--config", str(cfg), "--platform", "cpu"],
+        capture_output=True, text=True, timeout=480, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "transcribed 2 clip(s)" in r.stdout
+    for stem in ("clip_a", "clip_b"):
+        for ext in (".krn", ".xml", ".mid"):
+            assert os.path.exists(os.path.join(out_dir, f"{stem}{ext}"))

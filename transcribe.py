@@ -21,7 +21,10 @@ import time
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("inputs", nargs="+", help="WAV files")
+    parser.add_argument("inputs", nargs="+",
+                        help="WAV files, or .npy mono float arrays at the "
+                             "model sample rate (e.g. the synthetic "
+                             "corpus generator's audio/ files)")
     parser.add_argument("--checkpoint", default=None,
                         help="orbax save dir or torch .ckpt (default: "
                              "random weights — smoke mode)")
@@ -67,6 +70,10 @@ def main(argv=None):
 
     def clip_gen():
         for path in args.inputs:
+            if path.endswith(".npy"):
+                import numpy as np
+                yield np.asarray(np.load(path), np.float32)
+                continue
             audio, sr = read_wav(path)
             yield resample(audio, sr, tr.vqt_cfg.sample_rate)
 
