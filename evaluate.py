@@ -20,12 +20,20 @@ def main(argv=None):
     parser.add_argument("hparams", nargs="?", default="configs/finetune.yaml")
     parser.add_argument("overrides", nargs="*")
     parser.add_argument("--split", default="test")
+    parser.add_argument("--muster", nargs="?", metavar="SCRIPT",
+                        const="./MUSTER/evaluate_XML_voicePlus.sh",
+                        default=None,
+                        help="also compute the MUSTER 11-component score "
+                             "error rate over the XML pairs exported by "
+                             "the MV2H stage (requires the external "
+                             "MUSTER tool, which writes ER.txt into the "
+                             "cwd; reference: evaluate.py get_ER)")
     args = parser.parse_args(argv)
 
     from piano_a2s_tpu.config import load_experiment
     from piano_a2s_tpu.train.evaluate_offline import (
-        get_mv2h_from_test, summarize_asap_mv2h, summarize_syn_mv2h,
-        summarize_wer_and_f1)
+        get_muster_er, get_mv2h_from_test, summarize_asap_mv2h,
+        summarize_syn_mv2h, summarize_wer_and_f1)
 
     exp = load_experiment(args.hparams, args.overrides)
     folders = [f for f in (exp.pretrained_output_folder, exp.output_folder)
@@ -58,6 +66,10 @@ def main(argv=None):
         else:
             print(f"MV2H tool not found (mv2h_bin={exp.mv2h_bin!r}): "
                   "skipping MV2H (WER/F1 only)")
+        if args.muster:
+            ers, n_pairs = get_muster_er(folder, args.muster)
+            print(f"{folder}: MUSTER ER over {n_pairs} pairs: "
+                  f"{[round(float(e), 4) for e in ers]}")
     return 0
 
 

@@ -179,10 +179,17 @@ feature_folder: {tmp_path}/features
 mv2h_bin: {mv2h_bin}
 mv2h_timeout: 120
 """)
+    # --muster consumes the XML pairs the MV2H stage exports; the fake
+    # MUSTER script (replaying the cwd-ER.txt contract) stands in.
+    from test_external_tool_contracts import FAKE_MUSTER
+    muster = tmp_path / "evaluate_XML_voicePlus.sh"
+    muster.write_text(FAKE_MUSTER.format(python=sys.executable))
+    muster.chmod(0o755)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"),
-         str(yaml_path)],
-        capture_output=True, text=True, timeout=240, cwd=REPO_ROOT)
+         str(yaml_path), "--muster", str(muster)],
+        capture_output=True, text=True, timeout=240, cwd=str(tmp_path),
+        env=dict(os.environ, PYTHONPATH=REPO_ROOT))
     assert r.returncode == 0, r.stdout + r.stderr
     assert "WER/F1 over 1 clips" in r.stdout
     assert "skipping MV2H" not in r.stdout
@@ -193,3 +200,5 @@ mv2h_timeout: 120
     mv2h_json = os.path.join(out, "results", "mv2h",
                              "0~songA.0~Upright_mv2h.json")
     assert os.path.exists(mv2h_json)
+    # MUSTER summary over the one exported pair, replayed components
+    assert "MUSTER ER over 1 pairs: [0.1," in r.stdout

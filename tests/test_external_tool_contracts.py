@@ -460,7 +460,10 @@ if log:
 name = os.path.basename(pred)
 assert name.endswith("_pred"), pred
 assert os.path.basename(target).endswith("_target"), target
-assert os.path.exists(pred) and os.path.exists(target)
+# The exported pairs carry .xml; MUSTER receives the extensionless prefix
+# (the reference's get_ER argv contract, evaluate.py:149).
+assert os.path.exists(pred) or os.path.exists(pred + ".xml"), pred
+assert os.path.exists(target) or os.path.exists(target + ".xml"), target
 if "failclip" in name:
     sys.exit(1)  # dies before writing ER.txt
 if "nanclip" in name:
