@@ -20,14 +20,16 @@ def main(argv=None):
     parser.add_argument("hparams", nargs="?", default="configs/finetune.yaml")
     parser.add_argument("overrides", nargs="*")
     parser.add_argument("--split", default="test")
-    parser.add_argument("--muster", nargs="?", metavar="SCRIPT",
-                        const="./MUSTER/evaluate_XML_voicePlus.sh",
-                        default=None,
+    parser.add_argument("--muster", action="store_true",
                         help="also compute the MUSTER 11-component score "
                              "error rate over the XML pairs exported by "
                              "the MV2H stage (requires the external "
                              "MUSTER tool, which writes ER.txt into the "
                              "cwd; reference: evaluate.py get_ER)")
+    parser.add_argument("--muster-script",
+                        default="./MUSTER/evaluate_XML_voicePlus.sh",
+                        metavar="SCRIPT",
+                        help="path to MUSTER's evaluate_XML_voicePlus.sh")
     args = parser.parse_args(argv)
 
     from piano_a2s_tpu.config import load_experiment
@@ -67,9 +69,19 @@ def main(argv=None):
             print(f"MV2H tool not found (mv2h_bin={exp.mv2h_bin!r}): "
                   "skipping MV2H (WER/F1 only)")
         if args.muster:
-            ers, n_pairs = get_muster_er(folder, args.muster)
-            print(f"{folder}: MUSTER ER over {n_pairs} pairs: "
-                  f"{[round(float(e), 4) for e in ers]}")
+            import shutil as _shutil
+            if not (os.path.exists(args.muster_script)
+                    or _shutil.which(args.muster_script)):
+                print(f"MUSTER tool not found "
+                      f"(--muster-script={args.muster_script!r}): "
+                      "skipping MUSTER")
+            elif not os.path.isdir(os.path.join(folder, "results", "mv2h")):
+                print(f"{folder}: no MV2H exports yet (MUSTER consumes the "
+                      "XML pairs the MV2H stage writes): skipping MUSTER")
+            else:
+                ers, n_pairs = get_muster_er(folder, args.muster_script)
+                print(f"{folder}: MUSTER ER over {n_pairs} pairs: "
+                      f"{[round(float(e), 4) for e in ers]}")
     return 0
 
 

@@ -200,12 +200,15 @@ def get_muster_er(results_dir: str,
     pred_folder = os.path.join(results_dir, "results", "scores", "pred")
     target_folder = os.path.join(results_dir, "results", "scores", "target")
     mv2h_folder = os.path.join(results_dir, "results", "mv2h")
-    files = [f[:-10] for f in os.listdir(mv2h_folder) if f.endswith(".json")]
     ers = np.zeros(11)
-    if not (os.path.exists(muster_script) or shutil.which(muster_script)):
+    if not (os.path.exists(muster_script) or shutil.which(muster_script)) \
+            or not os.path.isdir(mv2h_folder):
         # Graceful skip WITHOUT touching cwd state: the per-pair unlink
         # below would otherwise destroy a user's ER.txt for nothing.
+        # (mv2h_folder only exists once get_mv2h_from_test has run —
+        # MUSTER consumes the XML pairs that stage exports.)
         return ers, 0
+    files = [f[:-10] for f in os.listdir(mv2h_folder) if f.endswith(".json")]
     i = 0
     for file in sorted(files):
         try:

@@ -187,7 +187,7 @@ mv2h_timeout: 120
     muster.chmod(0o755)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"),
-         str(yaml_path), "--muster", str(muster)],
+         str(yaml_path), "--muster", "--muster-script", str(muster)],
         capture_output=True, text=True, timeout=240, cwd=str(tmp_path),
         env=dict(os.environ, PYTHONPATH=REPO_ROOT))
     assert r.returncode == 0, r.stdout + r.stderr
@@ -202,3 +202,50 @@ mv2h_timeout: 120
     assert os.path.exists(mv2h_json)
     # MUSTER summary over the one exported pair, replayed components
     assert "MUSTER ER over 1 pairs: [0.1," in r.stdout
+
+
+def test_evaluate_cli_muster_skips_explicitly(tmp_path):
+    """--muster without the tool (or without MV2H exports) prints an
+    explicit skip notice — never an all-zero 'ER over 0 pairs' that reads
+    as a perfect score, and never a crash on the absent mv2h folder."""
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from test_external_tool_contracts import (FAKE_MUSTER,
+                                              _make_result_fixture)
+
+    out = str(tmp_path / "out_eval")
+    toks = LabelsMultiple(extended=True).encode("4c 4c 4c 4c")
+    _make_result_fixture(out, "test", "0~songA.0~Upright",
+                         [[0, "4/4", toks, toks]])
+    yaml_path = tmp_path / "eval.yaml"
+    yaml_path.write_text(f"""\
+seed: 7
+workspace: {tmp_path}
+output_folder: {out}
+feature_folder: {tmp_path}/features
+""")
+    env = dict(os.environ, PYTHONPATH=REPO_ROOT)
+
+    # Tool missing (no java either -> no MV2H stage ran, mv2h/ absent).
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"),
+         str(yaml_path), "--muster", "--muster-script",
+         str(tmp_path / "missing.sh")],
+        capture_output=True, text=True, timeout=240, cwd=str(tmp_path),
+        env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "skipping MUSTER" in r.stdout
+    assert "MUSTER ER over" not in r.stdout
+
+    # Tool present but no MV2H exports yet: explicit notice, no listdir
+    # crash on the absent results/mv2h directory.
+    muster = tmp_path / "evaluate_XML_voicePlus.sh"
+    muster.write_text(FAKE_MUSTER.format(python=sys.executable))
+    muster.chmod(0o755)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"),
+         str(yaml_path), "--muster", "--muster-script", str(muster)],
+        capture_output=True, text=True, timeout=240, cwd=str(tmp_path),
+        env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "no MV2H exports yet" in r.stdout
+    assert "MUSTER ER over" not in r.stdout

@@ -79,3 +79,19 @@ def test_transcribe_cli_npy_inputs(tmp_path):
     for stem in ("clip_a", "clip_b"):
         for ext in (".krn", ".xml", ".mid"):
             assert os.path.exists(os.path.join(out_dir, f"{stem}{ext}"))
+
+
+def test_transcribe_cli_rejects_nonaudio_npy(tmp_path):
+    """A 2-D .npy (spectrogram / stereo) fails fast with a clear message
+    naming the file, not deep inside the VQT."""
+    bad = str(tmp_path / "spec.npy")
+    np.save(bad, np.zeros((10, 480), np.float32))
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML.format(root=tmp_path))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "transcribe.py"), bad,
+         "--out-dir", str(tmp_path / "scores"), "--config", str(cfg),
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=480, cwd=REPO_ROOT)
+    assert r.returncode != 0
+    assert "spec.npy" in r.stderr and "1-D float audio" in r.stderr

@@ -72,7 +72,14 @@ def main(argv=None):
         for path in args.inputs:
             if path.endswith(".npy"):
                 import numpy as np
-                yield np.asarray(np.load(path), np.float32)
+                audio = np.asarray(np.load(path))
+                if audio.ndim != 1 or not np.issubdtype(audio.dtype,
+                                                        np.floating):
+                    sys.exit(f"{path}: expected a 1-D float audio array "
+                             f"at {tr.vqt_cfg.sample_rate} Hz, got "
+                             f"{audio.dtype}{audio.shape} (is this a "
+                             "spectrogram or stereo file?)")
+                yield audio.astype(np.float32)
                 continue
             audio, sr = read_wav(path)
             yield resample(audio, sr, tr.vqt_cfg.sample_rate)
