@@ -147,8 +147,12 @@ def measure_train(batch_size: int, max_length=None,
                                   conv_dtype=conv_dtype)
     rng = np.random.RandomState(0)
     b = batch_size
+    # Mirror the shipped Trainer's batch staging: bf16 training uploads
+    # the spectrogram as f16 (halves the non-overlappable host->device
+    # transfer; train/harness.py upload_f16), f32 training uploads f32.
+    spec_dtype = np.float16 if conv_dtype is not None else np.float32
     batch = {
-        "spectrogram": rng.randn(b, 1, 1201, 480).astype(np.float32),
+        "spectrogram": rng.randn(b, 1, 1201, 480).astype(spec_dtype),
         "time_sig": rng.randint(0, 7, (b, cfg.max_bars)),
         "key": rng.randint(0, 14, (b, cfg.max_bars)),
         "upper": rng.randint(0, 140, (b, cfg.max_bars, cfg.max_length[0])),

@@ -512,6 +512,23 @@ def _staff_summary(dec, tokens_or_emb: jnp.ndarray,
     return G.bidir_final(dec["staff_fwd"], dec["staff_bwd"], emb, lengths)
 
 
+def _staff_summaries_fused(dec, tokens: jnp.ndarray,
+                           lengths: jnp.ndarray) -> jnp.ndarray:
+    """S staff summaries in ONE scan (ops.gru.bidir_final_fused).
+
+    The reference runs a separate packed bidirectional GRU per summary
+    (models.py:164-189, called 2-4x per bar at models.py:289-311); each
+    step is tiny (B x 16 embeddings into a 32-wide GRU), so the cost is
+    pure sequential-step latency — stacking all summaries and both
+    directions into one scan divides that by 2S.
+
+    tokens: (S, B, T) int ids; lengths: (S, B). Returns (S, B, 2H).
+    """
+    emb = L.embed(dec["note_emb"], tokens.astype(jnp.int32))
+    return G.bidir_final_fused(dec["staff_fwd"], dec["staff_bwd"], emb,
+                               lengths)
+
+
 def _mlp_head(head, x: jnp.ndarray) -> jnp.ndarray:
     y = jax.nn.relu(L.linear(head["l1"], x))
     y = jax.nn.relu(L.linear(head["l2"], y))
@@ -603,21 +620,35 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
         key_logp = _mlp_head(dec["key_head"], head_in)
 
         # Next-bar conditioning token (reference: models.py:288-311): one
-        # teacher-forcing coin PER BAR shared across the batch.
-        up_staff_pred = _staff_summary(dec, up_tok, up_len)
-        low_staff_pred = _staff_summary(dec, low_tok, low_len)
+        # teacher-forcing coin PER BAR shared across the batch. All of
+        # this bar's staff summaries — predicted upper/lower and (in
+        # training) ground-truth upper/lower — run in ONE fused scan.
+        T_s = max(up_tok.shape[1], low_tok.shape[1])
+        pad_t = lambda a: jnp.pad(  # noqa: E731
+            a, ((0, 0), (0, T_s - a.shape[1])), constant_values=cfg.pad)
+        if has_gt:
+            sums = _staff_summaries_fused(
+                dec,
+                jnp.stack([pad_t(up_tok), pad_t(low_tok),
+                           pad_t(up_t.astype(jnp.int32)),
+                           pad_t(low_t.astype(jnp.int32))]),
+                jnp.stack([up_len, low_len,
+                           up_len_t.astype(jnp.int32),
+                           low_len_t.astype(jnp.int32)]))
+        else:
+            sums = _staff_summaries_fused(
+                dec, jnp.stack([pad_t(up_tok), pad_t(low_tok)]),
+                jnp.stack([up_len, low_len]))
         ts_pred = jnp.argmax(ts_logp, axis=-1).astype(jnp.int32)
         key_pred = jnp.argmax(key_logp, axis=-1).astype(jnp.int32)
         token_pred = jnp.concatenate([
-            up_staff_pred, low_staff_pred,
+            sums[0], sums[1],
             L.embed(dec["time_sig_emb"], ts_pred),
             L.embed(dec["key_emb"], key_pred)], axis=-1)
 
         if has_gt:
-            up_staff_gt = _staff_summary(dec, up_t, up_len_t)
-            low_staff_gt = _staff_summary(dec, low_t, low_len_t)
             token_gt = jnp.concatenate([
-                up_staff_gt, low_staff_gt,
+                sums[2], sums[3],
                 L.embed(dec["time_sig_emb"], ts_t.astype(jnp.int32)),
                 L.embed(dec["key_emb"], key_t.astype(jnp.int32))], axis=-1)
             teacher_force = jax.random.uniform(k_coin) < tf_ratio

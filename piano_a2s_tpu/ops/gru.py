@@ -137,6 +137,57 @@ def bidir_gru_layer(params_fwd, params_bwd, xs: jnp.ndarray,
             h_final[0], h_final[1])
 
 
+def bidir_final_fused(params_fwd, params_bwd, xs: jnp.ndarray,
+                      lengths: jnp.ndarray) -> jnp.ndarray:
+    """Final bidirectional hidden of S independent variable-length
+    sequences through the SAME GRU, all in ONE scan.
+
+    TPU-first fusion of S `bidir_final` calls (2S scans of T tiny steps
+    each -> one scan of T steps with 2S stacked chains): the decoder needs
+    up to four staff summaries per bar (predicted/ground-truth x
+    upper/lower; reference computes each with its own packed GRU run,
+    models.py:164-189,289-311), and each summary step is far too small to
+    hide scan latency — the sequential-step count is the cost.
+
+    Semantics are exactly `bidir_final` per sequence: forward carries
+    freeze once t >= length; backward chains consume the time-reversed
+    input and only start updating at step s >= T - length, i.e. original
+    positions length-1 .. 0 in descending order — torch
+    pack_padded_sequence final-hidden semantics.
+
+    xs: (S, B, T, in); lengths: (S, B) int. Returns (S, B, 2H).
+    """
+    S, B, T, F = xs.shape
+    H = params_fwd["w_hh"].shape[0]
+    x = jnp.swapaxes(xs.reshape(S * B, T, F), 0, 1)  # (T, SB, F)
+    both = jnp.stack([x, x[::-1]], axis=1)           # (T, 2, SB, F)
+    w_ih = jnp.stack([params_fwd["w_ih"], params_bwd["w_ih"]])
+    b_ih = jnp.stack([params_fwd["b_ih"], params_bwd["b_ih"]])
+    w_hh = jnp.stack([params_fwd["w_hh"], params_bwd["w_hh"]])
+    b_hh = jnp.stack([params_fwd["b_hh"], params_bwd["b_hh"]])
+    x_proj = jnp.einsum("tdbi,dik->tdbk", both, w_ih) + b_ih[:, None]
+    lens = lengths.reshape(S * B)
+    t_idx = jnp.arange(T)
+
+    def body(h, inp):
+        t, xp = inp
+        h_proj = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None]
+        ir, iz, inn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(ir + hr)
+        z = jax.nn.sigmoid(iz + hz)
+        n = jnp.tanh(inn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        valid = jnp.stack([t < lens, t >= T - lens])[..., None]
+        h = jnp.where(valid, h_new, h)
+        return h, None
+
+    h0 = jnp.zeros((2, S * B, H), xs.dtype)
+    h_final, _ = jax.lax.scan(body, h0, (t_idx, x_proj))
+    out = jnp.concatenate([h_final[0], h_final[1]], axis=-1)  # (SB, 2H)
+    return out.reshape(S, B, 2 * H)
+
+
 def gru_sequence_masked_final(params, xs: jnp.ndarray, lengths: jnp.ndarray,
                               reverse: bool = False) -> jnp.ndarray:
     """Final hidden state of a GRU over variable-length sequences.

@@ -67,6 +67,17 @@ class Trainer:
                 raise ValueError(
                     f"train_dtype={train_dtype!r}: supported values are "
                     f"'bfloat16' (or 'float32' for the default)") from None
+        # Half-precision batch staging (measured on the tunnel-attached
+        # v5e: the per-step host->device spectrogram upload does NOT
+        # overlap device compute — transfers and compute serialize — and
+        # costs ~100 ms per 18 MB microbatch, ~40% of the step). When the
+        # conv stack already computes in bf16, staging the spectrogram as
+        # float16 halves that transfer for quantization error (2^-11)
+        # below bf16's own rounding (2^-8); the train step casts back to
+        # f32 on device. f32 training keeps f32 uploads (parity).
+        # Opt out with extras `upload_f16: false`.
+        self.upload_f16 = (self.conv_dtype is not None
+                           and bool(exp.extras.get("upload_f16", True)))
         self.train_step, self.eval_step = make_jitted_steps(
             self.optimizer, self.cfg, mesh=self.mesh,
             accum_steps=self.accum_steps, conv_dtype=self.conv_dtype)
@@ -112,9 +123,15 @@ class Trainer:
         self.state = put_replicated(self.state, self.mesh)
         self.opt_state = put_replicated(self.opt_state, self.mesh)
 
-    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+    def _device_batch(self, batch: Dict[str, Any],
+                      train: bool = False) -> Dict[str, Any]:
         dev = {k: v for k, v in batch.items()
                if k not in ("names", "versions", "n_real", "local_rows")}
+        if train and self.upload_f16:
+            # Half the host->device bytes for the dominant batch array;
+            # the train step casts back to f32 at entry (train/step.py).
+            # Eval batches stay f32: validation WER is a parity surface.
+            dev["spectrogram"] = np.asarray(dev["spectrogram"], np.float16)
         # Zero-weight the final batch's padding duplicates so they add
         # nothing to losses/gradients (shapes stay static & mesh-divisible).
         # Known approximation: duplicates still enter train-mode BatchNorm
@@ -267,7 +284,7 @@ class Trainer:
             def one_step(batch):
                 self.rng, step_key = jax.random.split(self.rng)
                 batch, step = self._bucketed(batch)
-                dev = self._device_batch(batch)
+                dev = self._device_batch(batch, train=True)
                 if self.step_timer is None:
                     self.params, self.opt_state, self.state, out = \
                         step(self.params, self.opt_state, self.state,

@@ -45,6 +45,20 @@ def _ground_truth(batch: Dict[str, jnp.ndarray]):
             batch["upper_lengths"], batch["lower"], batch["lower_lengths"])
 
 
+def _promote_staged(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Undo half-precision batch staging on device.
+
+    The harness may upload the spectrogram as float16 purely to halve the
+    host->device transfer (train/harness.py `upload_f16` — transfers do
+    not overlap compute on the tunnel-attached platform); compute wants
+    >=f32. A no-op for f32/f64 batches (parity paths unchanged)."""
+    spec = batch["spectrogram"]
+    if spec.dtype == jnp.float16:
+        batch = dict(batch)
+        batch["spectrogram"] = spec.astype(jnp.float32)
+    return batch
+
+
 class StepOutput(NamedTuple):
     loss: jnp.ndarray
     components: Dict[str, jnp.ndarray]
@@ -60,6 +74,7 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
     distributions (22 GB at B=16) are never materialized.
     conv_dtype=jnp.bfloat16 runs the conv stack in mixed precision
     (matmuls + saved activations bf16, BN stats f32)."""
+    batch = _promote_staged(batch)
 
     def loss_fn(p):
         outs, new_state = forward(
@@ -113,6 +128,7 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     running stats (ops/layers.batch_norm), so microbatches 1..k-1 see no
     difference from the discarded updates.
     """
+    batch = _promote_staged(batch)
     sw = batch.get("sample_weight")
     totals = component_totals(batch, cfg.pad, sample_weight=sw)
 

@@ -106,6 +106,78 @@ def test_bf16_loss_decreases_over_steps():
     assert losses[-1] < losses[0]
 
 
+def test_f16_staged_batch_matches_f32_upload():
+    """upload_f16 staging: a float16-staged spectrogram is promoted back
+    to f32 on device (train/step._promote_staged) — the loss matches the
+    f32-uploaded loss at f16-quantization tolerance, and params/opt/state
+    dtypes are untouched."""
+    batch32 = _batch()
+    batch16 = dict(batch32)
+    batch16["spectrogram"] = batch32["spectrogram"].astype(np.float16)
+
+    outs = {}
+    for tag, batch in (("f32", batch32), ("f16", batch16)):
+        params, opt, opt_state, state = _fresh()
+        t_step, _ = make_jitted_steps(opt, CFG, conv_dtype=jnp.bfloat16)
+        p, o, s, out = t_step(params, opt_state, state, batch,
+                              jax.random.PRNGKey(1), 1.0)
+        outs[tag] = (float(out.loss), p, s)
+    np.testing.assert_allclose(outs["f16"][0], outs["f32"][0], rtol=1e-2)
+    for leaf in (jax.tree.leaves(outs["f16"][1])
+                 + jax.tree.leaves(outs["f16"][2])):
+        dt = np.asarray(leaf).dtype
+        assert dt == np.float32 or np.issubdtype(dt, np.integer), dt
+
+    # composes with accumulation too
+    params, opt, opt_state, state = _fresh()
+    t_acc, _ = make_jitted_steps(opt, CFG, accum_steps=2,
+                                 conv_dtype=jnp.bfloat16)
+    p, o, s, out = t_acc(params, opt_state, state, batch16,
+                         jax.random.PRNGKey(2), 0.7)
+    assert np.isfinite(float(out.loss))
+
+
+def test_harness_stages_f16_only_for_bf16_training(tmp_path):
+    """upload_f16 defaults on under train_dtype=bfloat16 (train batches
+    staged f16, eval batches stay f32), can be opted out, and never
+    applies to f32-parity training."""
+    from piano_a2s_tpu.config import ExperimentConfig
+    from piano_a2s_tpu.train.harness import Trainer
+
+    def mk(extras):
+        out = str(tmp_path / "out")
+        exp = ExperimentConfig(
+            seed=7, workspace=str(tmp_path), output_folder=out,
+            feature_folder=str(tmp_path), save_folder=f"{out}/save",
+            train_log=f"{out}/train_log.txt",
+            max_length=(8, 6), max_bars=2, max_duration=1,
+            frames_per_second=23, bins_per_octave=4, n_octaves=4,
+            number_of_epochs=1, batch_size=2, conv_feature_size=16,
+            hidden_size=16, note_emb_size=8, staff_emb_size=8)
+        exp.extras.update(extras)
+        return Trainer(exp)
+
+    batch = _batch(b=2)
+    batch["names"] = ["a", "b"]
+    batch["versions"] = [0, 0]
+
+    tr = mk({"train_dtype": "bfloat16"})
+    assert tr.upload_f16
+    assert tr._device_batch(batch, train=True)["spectrogram"].dtype \
+        == np.float16
+    assert tr._device_batch(batch)["spectrogram"].dtype == np.float32
+
+    tr = mk({"train_dtype": "bfloat16", "upload_f16": False})
+    assert not tr.upload_f16
+    assert tr._device_batch(batch, train=True)["spectrogram"].dtype \
+        == np.float32
+
+    tr = mk({})
+    assert not tr.upload_f16
+    assert tr._device_batch(batch, train=True)["spectrogram"].dtype \
+        == np.float32
+
+
 def test_harness_train_dtype_extras(tmp_path):
     from test_harness_e2e import _make_fixture
     from piano_a2s_tpu.config import ExperimentConfig
