@@ -19,6 +19,9 @@ round-over-round (clips/s unless noted):
                           instead of the 398/189-step caps
   serving_bf16_early_exit bf16 + EOS-biased early exit combined — the
                           recommended serving configuration
+  serving_bf16_ee_int16pcm  same, fed raw int16 PCM (the 16-bit-WAV fast
+                          path: half the host->device audio bytes,
+                          converted on device with read_wav's scale)
   train_b4_bucket64       full-size train step (fwd+bwd+Adadelta), B=4,
                           length-bucketed decode scans (the real training
                           config for ~40-token bars)
@@ -64,7 +67,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
 
-def measure_ours(decode_dtype=None, eos_bias: float = 0.0) -> float:
+def measure_ours(decode_dtype=None, eos_bias: float = 0.0,
+                 pcm16: bool = False) -> float:
     """Serving throughput measured through the SHIPPED pipeline: the
     Transcriber's transcribe_stream (fused VQT+model program, depth-3
     in-flight queue, host postprocessing overlapped via async dispatch)
@@ -98,6 +102,12 @@ def measure_ours(decode_dtype=None, eos_bias: float = 0.0) -> float:
     # hiccups (held 83 through a phase where depth 1 dipped to 65).
     clips = [(0.2 * rng.randn(12 * 16000)).astype(np.float32)
              for _ in range(ITERS * BATCH)]
+    if pcm16:
+        # Raw 16-bit PCM ingestion (what a 16-bit WAV yields via
+        # read_wav_pcm16): half the host->device audio bytes, converted
+        # on device (infer.py).
+        clips = [np.clip(np.round(c * 32768.0), -32768, 32767)
+                 .astype(np.int16) for c in clips]
 
     # Warm-up: compiles the fused VQT+decode program.
     list(tr.transcribe_stream(clips[:BATCH], batch_size=BATCH, depth=0))
@@ -313,6 +323,9 @@ def main():
             measure_ours(eos_bias=4.0), 2)
         configs["serving_bf16_early_exit"] = round(
             measure_ours(decode_dtype=jnp.bfloat16, eos_bias=4.0), 2)
+        configs["serving_bf16_ee_int16pcm"] = round(
+            measure_ours(decode_dtype=jnp.bfloat16, eos_bias=4.0,
+                         pcm16=True), 2)
         configs["train_b4_bucket64"] = round(
             measure_train(4, max_length=(64, 64)), 2)
         configs["train_b8_full"] = round(measure_train(8), 2)

@@ -68,6 +68,11 @@ class Transcriber:
             # Fused frontend+model: the VQT rides in the same XLA program
             # as the forward pass, so per-batch host traffic is raw audio
             # (0.77 MB/clip) instead of a spectrogram (2.3 MB/clip).
+            # int16 PCM input halves that again: converted on device with
+            # read_wav's exact /32768 scale, so a 16-bit WAV transcribes
+            # bit-identically to its float32 decoding.
+            if audio_batch.dtype == jnp.int16:
+                audio_batch = audio_batch.astype(jnp.float32) / 32768.0
             spec = get_vqt(audio_batch, self.kernels, self.vqt_cfg)
             t = spec.shape[1]
             if t >= max_frame_num:
@@ -86,16 +91,29 @@ class Transcriber:
         return (self.max_frame_num - 1) * self.vqt_cfg.hop_length
 
     def _prep_audio(self, audio: np.ndarray) -> np.ndarray:
-        """Mono audio -> fixed-length (max_samples,) float32."""
-        audio = np.asarray(audio, np.float32)[: self.max_samples]
+        """Mono audio -> fixed-length (max_samples,) float32 — or int16,
+        preserved so the stream path uploads half the bytes and converts
+        on device (see infer_audio)."""
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
+        audio = audio[: self.max_samples]
         if len(audio) < self.max_samples:
             audio = np.pad(audio, (0, self.max_samples - len(audio)))
         return audio
 
+    @staticmethod
+    def _to_float(audio: np.ndarray) -> np.ndarray:
+        """int16 PCM -> float32 with read_wav's exact scale; float passes
+        through."""
+        if audio.dtype == np.int16:
+            return audio.astype(np.float32) / 32768.0
+        return audio
+
     def spectrogram(self, audio: np.ndarray) -> np.ndarray:
         """12 s-max mono audio @ model sample rate -> (1, T, bins)."""
-        spec = np.asarray(get_vqt(self._prep_audio(audio), self.kernels,
-                                  self.vqt_cfg))
+        spec = np.asarray(get_vqt(self._to_float(self._prep_audio(audio)),
+                                  self.kernels, self.vqt_cfg))
         out = np.zeros((self.max_frame_num, spec.shape[-1]), np.float32)
         out[: spec.shape[0]] = spec[: self.max_frame_num]
         return out[None]
@@ -155,6 +173,11 @@ class Transcriber:
         study behind bench.py's depth-3 loop, now shipped here). All
         batches run at `batch_size` (the final one padded by repeating its
         last clip) so one compiled program serves the whole stream.
+
+        Clips may be float arrays or raw int16 PCM (e.g. from
+        utils.audio.read_wav_pcm16): int16 batches upload half the bytes
+        and are converted on device with read_wav's exact /32768 scale,
+        so 16-bit WAV sources transcribe bit-identically either way.
         """
         # Validate at CALL time (this wrapper is not a generator), so a
         # misconfiguration raises where it happens, not at the consumer's
@@ -183,6 +206,11 @@ class Transcriber:
                 yield buf + [buf[-1]] * (batch_size - n), n
 
         for buf, n in batches():
+            if any(a.dtype != buf[0].dtype for a in buf):
+                # Mixed int16/float clips in one batch: np.stack would
+                # silently promote raw int16 VALUES to float (wrong by
+                # 32768x) — normalize to float32 host-side instead.
+                buf = [self._to_float(a) for a in buf]
             audio = np.stack(buf)
             if self._batch_sharding is not None:
                 audio = jax.device_put(audio, self._batch_sharding)

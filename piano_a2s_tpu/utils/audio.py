@@ -52,6 +52,23 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return data, sr
 
 
+def read_wav_pcm16(path: str):
+    """(int16 mono samples, sample_rate) if the file is 16-bit PCM mono,
+    else None.
+
+    Serving fast path: a 16-bit mono WAV at the model rate can be staged
+    to the device AS int16 (half the host->device bytes — transfers do
+    not overlap compute on the tunnel-attached platform) and converted to
+    float on device with the same /32768 scale as `read_wav`, making the
+    int16 path bit-identical to the float path for such files."""
+    with wave.open(path, "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            return None
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2"), sr
+
+
 def write_wav(path: str, data: np.ndarray, sr: int) -> None:
     data = np.clip(np.asarray(data, np.float32), -1.0, 1.0)
     with wave.open(path, "wb") as w:

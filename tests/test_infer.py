@@ -88,3 +88,57 @@ def test_transcribe_stream_lazy_consumption():
     assert len(produced) <= 4
     rest = list(it)
     assert len(rest) == 4
+
+
+def test_int16_pcm_bit_identical_to_float():
+    """Raw int16 PCM clips (the 16-bit-WAV fast path) produce exactly the
+    float32 path's results: the on-device conversion uses read_wav's
+    /32768 scale, so the floats are identical."""
+    tr = _transcriber()
+    rng = np.random.RandomState(4)
+    ints = [(rng.randint(-3000, 3000, n)).astype(np.int16)
+            for n in (12000, 16000, 9000)]
+    floats = [i.astype(np.float32) / 32768.0 for i in ints]
+    expected = list(tr.transcribe_stream(floats, batch_size=2, depth=0))
+    got = list(tr.transcribe_stream(ints, batch_size=2, depth=0))
+    assert got == expected
+    # blocking API accepts int16 too (host-side conversion)
+    assert tr.transcribe(ints[0]) == expected[0]
+
+
+def test_stream_mixed_int16_and_float_batches():
+    """A stream mixing int16 and float clips inside ONE batch normalizes
+    host-side (np.stack would promote raw int16 VALUES to float)."""
+    tr = _transcriber()
+    rng = np.random.RandomState(5)
+    i16 = rng.randint(-3000, 3000, 12000).astype(np.int16)
+    f32 = 0.1 * rng.randn(12000).astype(np.float32)
+    mixed = list(tr.transcribe_stream([i16, f32], batch_size=2, depth=0))
+    assert mixed[0] == tr.transcribe(i16)
+    assert mixed[1] == tr.transcribe(f32)
+
+
+def test_read_wav_pcm16_roundtrip(tmp_path):
+    """read_wav_pcm16 returns the exact samples write_wav stored, and the
+    /32768 scale matches read_wav; non-16-bit/mono files return None."""
+    import struct
+    import wave
+
+    from piano_a2s_tpu.utils.audio import (read_wav, read_wav_pcm16,
+                                           write_wav)
+    rng = np.random.RandomState(6)
+    data = np.clip(0.3 * rng.randn(5000), -1, 1).astype(np.float32)
+    path = str(tmp_path / "m.wav")
+    write_wav(path, data, 16000)
+    pcm, sr = read_wav_pcm16(path)
+    assert sr == 16000 and pcm.dtype == np.int16
+    f, sr2 = read_wav(path)
+    np.testing.assert_array_equal(pcm.astype(np.float32) / 32768.0, f)
+
+    stereo = str(tmp_path / "s.wav")
+    with wave.open(stereo, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    assert read_wav_pcm16(stereo) is None

@@ -45,7 +45,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from piano_a2s_tpu.infer import load_transcriber, result_to_files
-    from piano_a2s_tpu.utils.audio import read_wav, resample
+    from piano_a2s_tpu.utils.audio import read_wav, read_wav_pcm16, resample
     from piano_a2s_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -80,6 +80,13 @@ def main(argv=None):
                              f"{audio.dtype}{audio.shape} (is this a "
                              "spectrogram or stereo file?)")
                 yield audio.astype(np.float32)
+                continue
+            # 16-bit mono WAVs already at the model rate stay int16: half
+            # the host->device bytes, converted on device with read_wav's
+            # exact /32768 scale (bit-identical result; infer.py).
+            pcm = read_wav_pcm16(path)
+            if pcm is not None and pcm[1] == tr.vqt_cfg.sample_rate:
+                yield pcm[0]
                 continue
             audio, sr = read_wav(path)
             yield resample(audio, sr, tr.vqt_cfg.sample_rate)
