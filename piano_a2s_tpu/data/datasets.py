@@ -240,6 +240,11 @@ class DataLoader:
                  seed: int = 0, pad_final_batch: bool = True,
                  prefetch: int = 2, shard=None):
         self.dataset = dataset
+        # Optional per-batch hook, applied where batches are BUILT — i.e.
+        # inside the prefetch producer thread — so host-side staging work
+        # (e.g. the Trainer's f16 upload cast) overlaps device compute
+        # instead of running serially in the training loop.
+        self.transform = None
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
@@ -303,6 +308,12 @@ class DataLoader:
         return batch
 
     def _batches(self):
+        for batch in self._raw_batches():
+            if self.transform is not None:
+                batch = self.transform(batch)
+            yield batch
+
+    def _raw_batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .data.datasets import load_time_signatures
+from .utils.audio import PCM16_SCALE
 from .models import ModelConfig
 from .models.score_transcription import forward
 from .ops.vqt import VQTConfig, build_kernels, get_vqt
@@ -72,7 +73,8 @@ class Transcriber:
             # read_wav's exact /32768 scale, so a 16-bit WAV transcribes
             # bit-identically to its float32 decoding.
             if audio_batch.dtype == jnp.int16:
-                audio_batch = audio_batch.astype(jnp.float32) / 32768.0
+                audio_batch = (audio_batch.astype(jnp.float32)
+                               / PCM16_SCALE)
             spec = get_vqt(audio_batch, self.kernels, self.vqt_cfg)
             t = spec.shape[1]
             if t >= max_frame_num:
@@ -107,7 +109,7 @@ class Transcriber:
         """int16 PCM -> float32 with read_wav's exact scale; float passes
         through."""
         if audio.dtype == np.int16:
-            return audio.astype(np.float32) / 32768.0
+            return audio.astype(np.float32) / PCM16_SCALE
         return audio
 
     def spectrogram(self, audio: np.ndarray) -> np.ndarray:

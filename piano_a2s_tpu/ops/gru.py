@@ -63,18 +63,31 @@ def init_gru_params(key, input_size: int, hidden_size: int,
     }
 
 
-def gru_cell(params, x_proj: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-    """One GRU step given a precomputed input projection.
-
-    x_proj: (..., 3H) = x @ w_ih + b_ih; h: (..., H). Returns h'.
-    """
-    h_proj = h @ params["w_hh"] + params["b_hh"]
+def _gru_gates(x_proj: jnp.ndarray, h_proj: jnp.ndarray,
+               h: jnp.ndarray) -> jnp.ndarray:
+    """The gate equations (cuDNN/torch convention, module docstring) —
+    the single source of truth shared by every recurrence shape here."""
     ir, iz, inn = jnp.split(x_proj, 3, axis=-1)
     hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
     r = jax.nn.sigmoid(ir + hr)
     z = jax.nn.sigmoid(iz + hz)
     n = jnp.tanh(inn + r * hn)
     return (1.0 - z) * n + z * h
+
+
+def _stack_directions(params_fwd, params_bwd):
+    """(w_ih, b_ih, w_hh, b_hh), each with the two directions stacked on a
+    leading axis — the operands of the fused dual-direction scans."""
+    return tuple(jnp.stack([params_fwd[k], params_bwd[k]])
+                 for k in ("w_ih", "b_ih", "w_hh", "b_hh"))
+
+
+def gru_cell(params, x_proj: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """One GRU step given a precomputed input projection.
+
+    x_proj: (..., 3H) = x @ w_ih + b_ih; h: (..., H). Returns h'.
+    """
+    return _gru_gates(x_proj, h @ params["w_hh"] + params["b_hh"], h)
 
 
 def gru_step(params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
@@ -111,22 +124,14 @@ def bidir_gru_layer(params_fwd, params_bwd, xs: jnp.ndarray,
 
     xs: (T, B, in); h0: (B, H). Returns (out (T, B, 2H), h_fwd, h_bwd).
     """
-    w_ih = jnp.stack([params_fwd["w_ih"], params_bwd["w_ih"]])
-    b_ih = jnp.stack([params_fwd["b_ih"], params_bwd["b_ih"]])
-    w_hh = jnp.stack([params_fwd["w_hh"], params_bwd["w_hh"]])
-    b_hh = jnp.stack([params_fwd["b_hh"], params_bwd["b_hh"]])
+    w_ih, b_ih, w_hh, b_hh = _stack_directions(params_fwd, params_bwd)
 
     xs_dual = jnp.stack([xs, xs[::-1]], axis=1)  # (T, 2, B, in)
     x_proj = jnp.einsum("tdbi,dik->tdbk", xs_dual, w_ih) + b_ih[:, None]
 
     def body(h, xp):
         h_proj = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None]
-        ir, iz, inn = jnp.split(xp, 3, axis=-1)
-        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
-        r = jax.nn.sigmoid(ir + hr)
-        z = jax.nn.sigmoid(iz + hz)
-        n = jnp.tanh(inn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gates(xp, h_proj, h)
         return h_new, h_new
 
     h0_dual = jnp.stack([h0, h0])
@@ -161,10 +166,7 @@ def bidir_final_fused(params_fwd, params_bwd, xs: jnp.ndarray,
     H = params_fwd["w_hh"].shape[0]
     x = jnp.swapaxes(xs.reshape(S * B, T, F), 0, 1)  # (T, SB, F)
     both = jnp.stack([x, x[::-1]], axis=1)           # (T, 2, SB, F)
-    w_ih = jnp.stack([params_fwd["w_ih"], params_bwd["w_ih"]])
-    b_ih = jnp.stack([params_fwd["b_ih"], params_bwd["b_ih"]])
-    w_hh = jnp.stack([params_fwd["w_hh"], params_bwd["w_hh"]])
-    b_hh = jnp.stack([params_fwd["b_hh"], params_bwd["b_hh"]])
+    w_ih, b_ih, w_hh, b_hh = _stack_directions(params_fwd, params_bwd)
     x_proj = jnp.einsum("tdbi,dik->tdbk", both, w_ih) + b_ih[:, None]
     lens = lengths.reshape(S * B)
     t_idx = jnp.arange(T)
@@ -172,12 +174,7 @@ def bidir_final_fused(params_fwd, params_bwd, xs: jnp.ndarray,
     def body(h, inp):
         t, xp = inp
         h_proj = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None]
-        ir, iz, inn = jnp.split(xp, 3, axis=-1)
-        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
-        r = jax.nn.sigmoid(ir + hr)
-        z = jax.nn.sigmoid(iz + hz)
-        n = jnp.tanh(inn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gates(xp, h_proj, h)
         valid = jnp.stack([t < lens, t >= T - lens])[..., None]
         h = jnp.where(valid, h_new, h)
         return h, None

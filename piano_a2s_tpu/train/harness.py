@@ -30,6 +30,13 @@ from .schedulers import NewBobScheduler, teacher_forcing_ratio
 from .step import make_jitted_steps, make_optimizer, set_learning_rate
 
 
+def _stage_f16(batch):
+    """Loader-thread staging cast for upload_f16 (see Trainer.fit)."""
+    batch = dict(batch)
+    batch["spectrogram"] = np.asarray(batch["spectrogram"], np.float16)
+    return batch
+
+
 class Trainer:
     def __init__(self, exp: ExperimentConfig, use_mesh: bool = False,
                  n_devices: Optional[int] = None):
@@ -272,6 +279,13 @@ class Trainer:
     def fit(self, train_loader, valid_loader,
             epochs: Optional[int] = None) -> None:
         epochs = epochs or self.exp.number_of_epochs
+        if (self.upload_f16
+                and getattr(train_loader, "transform", "absent") is None):
+            # Do the f32->f16 staging cast where batches are built (the
+            # loader's prefetch thread) so the ~tens-of-ms host cast of
+            # each spectrogram batch overlaps device compute;
+            # _device_batch's np.asarray(..., float16) then no-ops.
+            train_loader.transform = _stage_f16
         self.try_resume()
         for epoch in range(self.start_epoch, epochs + 1):
             tf = teacher_forcing_ratio(self.exp.teacher_forcing_ratio,

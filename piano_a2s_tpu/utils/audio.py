@@ -14,6 +14,14 @@ import numpy as np
 from scipy import signal as _signal
 
 
+# WAV 16-bit PCM decode scale (read_wav, read_wav_pcm16, and the
+# Transcriber's on-device int16 conversion all divide by THIS — the
+# int16==float bit-identity guarantee rests on every path agreeing).
+# Distinct from the /32767 pair below, which replicates the reference's
+# int16<->float32 helpers (utilities.py:67-72) for data-pipeline parity.
+PCM16_SCALE = 32768.0
+
+
 def float32_to_int16(x: np.ndarray) -> np.ndarray:
     assert np.max(np.abs(x)) <= 1.0
     return (x * 32767.0).astype(np.int16)
@@ -31,7 +39,8 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         sr = w.getframerate()
         raw = w.readframes(w.getnframes())
     if width == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        data = (np.frombuffer(raw, dtype="<i2").astype(np.float32)
+                / PCM16_SCALE)
     elif width == 4:
         # Could be PCM32 or float32; WAVE_FORMAT tag isn't exposed by the
         # wave module — assume PCM32 (float WAVs are rare from synths).
@@ -52,19 +61,24 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return data, sr
 
 
-def read_wav_pcm16(path: str):
-    """(int16 mono samples, sample_rate) if the file is 16-bit PCM mono,
-    else None.
+def read_wav_pcm16(path: str, expect_sr=None):
+    """(int16 mono samples, sample_rate) if the file is 16-bit PCM mono
+    (and, when expect_sr is given, at that rate), else None.
 
     Serving fast path: a 16-bit mono WAV at the model rate can be staged
     to the device AS int16 (half the host->device bytes — transfers do
     not overlap compute on the tunnel-attached platform) and converted to
-    float on device with the same /32768 scale as `read_wav`, making the
-    int16 path bit-identical to the float path for such files."""
+    float on device with the same PCM16_SCALE as `read_wav`, making the
+    int16 path bit-identical to the float path for such files. All header
+    checks happen BEFORE the frames are read, so a rejected file costs
+    only a header read and the read_wav fallback does not re-read bulk
+    data."""
     with wave.open(path, "rb") as w:
         if w.getnchannels() != 1 or w.getsampwidth() != 2:
             return None
         sr = w.getframerate()
+        if expect_sr is not None and sr != expect_sr:
+            return None
         raw = w.readframes(w.getnframes())
     return np.frombuffer(raw, dtype="<i2"), sr
 

@@ -206,9 +206,13 @@ def test_harness_train_dtype_extras(tmp_path):
     valid_ds = SyntheticTestDataset(
         root, "valid", versions=[0], max_frame_num=exp.max_frame_num,
         max_length=exp.max_length)
-    trainer.fit(DataLoader(train_ds, 2, shuffle=True, seed=0),
-                DataLoader(valid_ds, 2))
+    train_loader = DataLoader(train_ds, 2, shuffle=True, seed=0)
+    trainer.fit(train_loader, DataLoader(valid_ds, 2))
     assert np.isfinite(trainer.train_stats["loss"])
+    # fit installed the f16 staging cast in the loader (prefetch thread),
+    # and batches coming out of it carry float16 spectrograms.
+    assert train_loader.transform is not None
+    assert next(iter(train_loader))["spectrogram"].dtype == np.float16
 
     exp.extras["train_dtype"] = "int8"
     with pytest.raises(ValueError):

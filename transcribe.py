@@ -84,8 +84,8 @@ def main(argv=None):
             # 16-bit mono WAVs already at the model rate stay int16: half
             # the host->device bytes, converted on device with read_wav's
             # exact /32768 scale (bit-identical result; infer.py).
-            pcm = read_wav_pcm16(path)
-            if pcm is not None and pcm[1] == tr.vqt_cfg.sample_rate:
+            pcm = read_wav_pcm16(path, expect_sr=tr.vqt_cfg.sample_rate)
+            if pcm is not None:
                 yield pcm[0]
                 continue
             audio, sr = read_wav(path)
