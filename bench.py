@@ -43,6 +43,9 @@ round-over-round (clips/s unless noted):
   train_fit_e2e           Trainer.fit() end-to-end (loader + bucketing +
                           accumulation + validation + checkpointing) at
                           full size, steady-state epochs only
+  train_fit_e2e_bf16      same with train_dtype=bfloat16 — the shipped
+                          mixed-precision path incl. f16 batch staging
+                          in the loader's prefetch thread
 Set BENCH_CONFIGS=0 to print only the primary metric.
 """
 
@@ -196,7 +199,8 @@ def measure_train(batch_size: int, max_length=None,
 
 def measure_train_fit(epochs: int = 3, n_train: int = 32,
                       batch_size: int = 16, accum_steps: int = 4,
-                      exp_kwargs=None, spec_shape=(1199, 480)) -> float:
+                      exp_kwargs=None, spec_shape=(1199, 480),
+                      extras=None) -> float:
     """End-to-end Trainer.fit() throughput at full model size: the SHIPPED
     training loop (prefetching loader, length bucketing, gradient
     accumulation, free-running validation with WER/F1, checkpointing) on
@@ -245,7 +249,8 @@ def measure_train_fit(epochs: int = 3, n_train: int = 32,
             train_log=os.path.join(out, "train_log.txt"),
             number_of_epochs=epochs, batch_size=batch_size,
             **(exp_kwargs or {}))
-        exp.extras.update(accum_steps=accum_steps, bucket_tokens=64)
+        exp.extras.update(accum_steps=accum_steps, bucket_tokens=64,
+                          **(extras or {}))
         trainer = Trainer(exp)
         train_ds = SyntheticTrainDataset(
             exp.feature_folder, "train", versions=[0],
@@ -337,6 +342,8 @@ def main():
             measure_train(32, max_length=(64, 64), accum_steps=4,
                           train_dtype="bfloat16"), 2)
         configs["train_fit_e2e"] = round(measure_train_fit(), 2)
+        configs["train_fit_e2e_bf16"] = round(
+            measure_train_fit(extras={"train_dtype": "bfloat16"}), 2)
         record["configs"] = configs
     print(json.dumps(record))
 

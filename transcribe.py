@@ -73,13 +73,17 @@ def main(argv=None):
             if path.endswith(".npy"):
                 import numpy as np
                 audio = np.asarray(np.load(path))
-                if audio.ndim != 1 or not np.issubdtype(audio.dtype,
-                                                        np.floating):
-                    sys.exit(f"{path}: expected a 1-D float audio array "
-                             f"at {tr.vqt_cfg.sample_rate} Hz, got "
-                             f"{audio.dtype}{audio.shape} (is this a "
+                if audio.ndim != 1 or not (
+                        np.issubdtype(audio.dtype, np.floating)
+                        or audio.dtype == np.int16):
+                    sys.exit(f"{path}: expected a 1-D float or int16 PCM "
+                             f"audio array at {tr.vqt_cfg.sample_rate} Hz, "
+                             f"got {audio.dtype}{audio.shape} (is this a "
                              "spectrogram or stereo file?)")
-                yield audio.astype(np.float32)
+                # int16 passes through raw (the Transcriber converts on
+                # device with read_wav's scale); floats normalize to f32.
+                yield (audio if audio.dtype == np.int16
+                       else audio.astype(np.float32))
                 continue
             # 16-bit mono WAVs already at the model rate stay int16: half
             # the host->device bytes, converted on device with read_wav's
