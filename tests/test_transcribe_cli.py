@@ -66,17 +66,21 @@ def test_transcribe_cli_npy_inputs(tmp_path):
     np.save(npy, (0.1 * rng.randn(8000)).astype(np.float32))
     wav = str(tmp_path / "clip_b.wav")
     write_wav(wav, 0.1 * rng.randn(8000), 16000)
+    # int16 PCM .npy rides the raw-int16 fast path (converted on device)
+    pcm = str(tmp_path / "clip_c.npy")
+    np.save(pcm, rng.randint(-3000, 3000, 8000).astype(np.int16))
     cfg = tmp_path / "tiny.yaml"
     cfg.write_text(TINY_YAML.format(root=tmp_path))
     out_dir = str(tmp_path / "scores")
 
     r = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "transcribe.py"), npy, wav,
-         "--out-dir", out_dir, "--config", str(cfg), "--platform", "cpu"],
+         pcm, "--out-dir", out_dir, "--config", str(cfg),
+         "--platform", "cpu"],
         capture_output=True, text=True, timeout=480, cwd=REPO_ROOT)
     assert r.returncode == 0, r.stdout + r.stderr
-    assert "transcribed 2 clip(s)" in r.stdout
-    for stem in ("clip_a", "clip_b"):
+    assert "transcribed 3 clip(s)" in r.stdout
+    for stem in ("clip_a", "clip_b", "clip_c"):
         for ext in (".krn", ".xml", ".mid"):
             assert os.path.exists(os.path.join(out_dir, f"{stem}{ext}"))
 
@@ -94,4 +98,5 @@ def test_transcribe_cli_rejects_nonaudio_npy(tmp_path):
          "--platform", "cpu"],
         capture_output=True, text=True, timeout=480, cwd=REPO_ROOT)
     assert r.returncode != 0
-    assert "spec.npy" in r.stderr and "1-D float audio" in r.stderr
+    assert "spec.npy" in r.stderr
+    assert "1-D float or int16 PCM audio" in r.stderr
