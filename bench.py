@@ -40,11 +40,15 @@ round-over-round (clips/s unless noted):
   train_b32_accum4_bucket64_bf16  same + mixed-precision conv stack
                           (extras train_dtype: bfloat16 — bf16 matmuls
                           and saved activations, f32 BN/params/decoder)
+                          + uint8 batch staging (the shipped default for
+                          bf16 training); measured INTERLEAVED with the
+                          f32 config so tunnel drift can't invert the
+                          reported ordering
   train_fit_e2e           Trainer.fit() end-to-end (loader + bucketing +
                           accumulation + validation + checkpointing) at
                           full size, steady-state epochs only
   train_fit_e2e_bf16      same with train_dtype=bfloat16 — the shipped
-                          mixed-precision path incl. f16 batch staging
+                          mixed-precision path incl. uint8 batch staging
                           in the loader's prefetch thread
 Set BENCH_CONFIGS=0 to print only the primary metric.
 """
@@ -128,73 +132,114 @@ def measure_ours(decode_dtype=None, eos_bias: float = 0.0,
     return BATCH / dt
 
 
+class _TrainVariant:
+    """One compiled+warmed train-step config with chained device state,
+    so several variants can be timed INTERLEAVED in one process (the
+    tunnel's throughput drifts +/-30-40% over tens of minutes — a
+    sequential A/B can invert a real ordering; docs/DESIGN.md §7)."""
+
+    def __init__(self, batch_size: int, max_length=None,
+                 accum_steps: int = 1, train_dtype=None):
+        import dataclasses
+
+        import numpy as np
+        import jax
+        from piano_a2s_tpu.models import (ModelConfig, init_params,
+                                          init_state)
+        from piano_a2s_tpu.train.step import (make_jitted_steps,
+                                              make_optimizer)
+        from piano_a2s_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
+        self.jax = jax
+        cfg = ModelConfig()
+        if max_length is not None:
+            cfg = dataclasses.replace(cfg, max_length=tuple(max_length))
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        state = init_state(cfg)
+        opt = make_optimizer(lr=1.0)
+        opt_state = opt.init(params)
+        conv_dtype = None
+        if train_dtype:
+            import jax.numpy as jnp
+            # Same accepted values as the harness (train/harness.py);
+            # reject anything else so a mislabeled config can't silently
+            # bench bf16.
+            conv_dtype = {"bfloat16": jnp.bfloat16,
+                          "bf16": jnp.bfloat16}[str(train_dtype)]
+        self.step, _ = make_jitted_steps(opt, cfg, accum_steps=accum_steps,
+                                         conv_dtype=conv_dtype)
+        rng = np.random.RandomState(0)
+        b = self.b = batch_size
+        # Realistic spectrograms: log-VQT values live in [0,1].
+        spec = rng.rand(b, 1, 1201, 480).astype(np.float32)
+        # Mirror the shipped Trainer's batch staging (train/harness.py
+        # upload_dtype): bf16 training uploads uint8 (the [0,1] log-VQT
+        # quantized to 1/255 — quarter the non-overlappable host->device
+        # transfer), f32 training uploads f32.
+        if conv_dtype is not None:
+            spec = np.round(spec * 255.0).astype(np.uint8)
+        self.batch = {
+            "spectrogram": spec,
+            "time_sig": rng.randint(0, 7, (b, cfg.max_bars)),
+            "key": rng.randint(0, 14, (b, cfg.max_bars)),
+            "upper": rng.randint(0, 140,
+                                 (b, cfg.max_bars, cfg.max_length[0])),
+            "upper_lengths": rng.randint(3, min(60, cfg.max_length[0]),
+                                         (b, cfg.max_bars)),
+            "lower": rng.randint(0, 140,
+                                 (b, cfg.max_bars, cfg.max_length[1])),
+            "lower_lengths": rng.randint(3, min(40, cfg.max_length[1]),
+                                         (b, cfg.max_bars)),
+        }
+        p, o, s, out = self.step(params, opt_state, state, self.batch,
+                                 jax.random.PRNGKey(0), 0.7)
+        # device_get, not block_until_ready: the axon tunnel platform does
+        # not block on the latter, which would fake the timings.
+        jax.device_get(out.loss)
+        self.carry = (p, o, s)
+        self.i = 0
+
+    def timed_loop(self, n: int) -> float:
+        """Seconds per step over n chained steps, synced once at the end.
+        Steps are chained through (params, opt_state, state), so
+        dispatching N steps and syncing ONCE measures the pipelined
+        throughput the Trainer actually achieves (it keeps losses on
+        device); a per-step device_get would add a full tunnel round-trip
+        (~160 ms) to every step."""
+        p, o, s = self.carry
+        t0 = time.time()
+        for _ in range(n):
+            self.i += 1
+            p, o, s, out = self.step(p, o, s, self.batch,
+                                     self.jax.random.PRNGKey(self.i), 0.7)
+        self.jax.device_get(out.loss)
+        self.carry = (p, o, s)
+        return (time.time() - t0) / n
+
+
 def measure_train(batch_size: int, max_length=None,
                   accum_steps: int = 1, train_dtype=None) -> float:
     """Full training-step throughput (forward + backward + Adadelta),
     clips/s at the given batch size and decode-scan caps."""
-    import dataclasses
-
-    import numpy as np
-    import jax
-    from piano_a2s_tpu.models import ModelConfig, init_params, init_state
-    from piano_a2s_tpu.train.step import make_jitted_steps, make_optimizer
-    from piano_a2s_tpu.utils.cache import enable_compile_cache
-
-    enable_compile_cache()
-
-    cfg = ModelConfig()
-    if max_length is not None:
-        cfg = dataclasses.replace(cfg, max_length=tuple(max_length))
-    params = init_params(jax.random.PRNGKey(0), cfg)
-    state = init_state(cfg)
-    opt = make_optimizer(lr=1.0)
-    opt_state = opt.init(params)
-    conv_dtype = None
-    if train_dtype:
-        import jax.numpy as jnp
-        # Same accepted values as the harness (train/harness.py); reject
-        # anything else so a mislabeled config can't silently bench bf16.
-        conv_dtype = {"bfloat16": jnp.bfloat16,
-                      "bf16": jnp.bfloat16}[str(train_dtype)]
-    t_step, _ = make_jitted_steps(opt, cfg, accum_steps=accum_steps,
-                                  conv_dtype=conv_dtype)
-    rng = np.random.RandomState(0)
-    b = batch_size
-    # Mirror the shipped Trainer's batch staging: bf16 training uploads
-    # the spectrogram as f16 (halves the non-overlappable host->device
-    # transfer; train/harness.py upload_f16), f32 training uploads f32.
-    spec_dtype = np.float16 if conv_dtype is not None else np.float32
-    batch = {
-        "spectrogram": rng.randn(b, 1, 1201, 480).astype(spec_dtype),
-        "time_sig": rng.randint(0, 7, (b, cfg.max_bars)),
-        "key": rng.randint(0, 14, (b, cfg.max_bars)),
-        "upper": rng.randint(0, 140, (b, cfg.max_bars, cfg.max_length[0])),
-        "upper_lengths": rng.randint(3, min(60, cfg.max_length[0]),
-                                     (b, cfg.max_bars)),
-        "lower": rng.randint(0, 140, (b, cfg.max_bars, cfg.max_length[1])),
-        "lower_lengths": rng.randint(3, min(40, cfg.max_length[1]),
-                                     (b, cfg.max_bars)),
-    }
-    p, o, s = params, opt_state, state
-    p, o, s, out = t_step(p, o, s, batch, jax.random.PRNGKey(0), 0.7)
-    # device_get, not block_until_ready: the axon tunnel platform does not
-    # block on the latter, which would fake the timings.
-    jax.device_get(out.loss)
-    # Steps are chained through (params, opt_state, state), so dispatching
-    # N steps and syncing ONCE measures the pipelined throughput the
-    # Trainer actually achieves (it keeps losses on device); a per-step
-    # device_get would add a full tunnel round-trip (~160 ms) to every
-    # step.
+    v = _TrainVariant(batch_size, max_length=max_length,
+                      accum_steps=accum_steps, train_dtype=train_dtype)
     n = max(3, ITERS)
-    times = []
-    for _ in range(2):
-        t0 = time.time()
-        for i in range(n):
-            p, o, s, out = t_step(p, o, s, batch,
-                                  jax.random.PRNGKey(1 + i), 0.7)
-        jax.device_get(out.loss)
-        times.append((time.time() - t0) / n)
-    return b / min(times)
+    return v.b / min(v.timed_loop(n) for _ in range(2))
+
+
+def measure_train_interleaved(variants: dict, rounds: int = 3) -> dict:
+    """Time several train configs ALTERNATING round-robin so each sees the
+    same tunnel-drift window; returns {name: clips/s} from each variant's
+    best round. Use for any pair whose ORDERING is a reported claim
+    (e.g. f32 vs bf16 at the same shapes)."""
+    built = {name: _TrainVariant(**kw) for name, kw in variants.items()}
+    n = max(3, ITERS)
+    best = {name: 0.0 for name in variants}
+    for _ in range(rounds):
+        for name, v in built.items():
+            best[name] = max(best[name], v.b / v.timed_loop(n))
+    return best
 
 
 def measure_train_fit(epochs: int = 3, n_train: int = 32,
@@ -336,11 +381,17 @@ def main():
         configs["train_b8_full"] = round(measure_train(8), 2)
         configs["train_b16_accum2_full"] = round(
             measure_train(16, accum_steps=2), 2)
-        configs["train_b32_accum4_bucket64"] = round(
-            measure_train(32, max_length=(64, 64), accum_steps=4), 2)
-        configs["train_b32_accum4_bucket64_bf16"] = round(
-            measure_train(32, max_length=(64, 64), accum_steps=4,
-                          train_dtype="bfloat16"), 2)
+        # f32 vs bf16 at the recommended config is a reported ORDERING
+        # claim — measure the pair interleaved so tunnel drift can't
+        # invert it (round 2's sequential run showed bf16 "slower").
+        pair = measure_train_interleaved({
+            "train_b32_accum4_bucket64": dict(
+                batch_size=32, max_length=(64, 64), accum_steps=4),
+            "train_b32_accum4_bucket64_bf16": dict(
+                batch_size=32, max_length=(64, 64), accum_steps=4,
+                train_dtype="bfloat16"),
+        })
+        configs.update({k: round(v, 2) for k, v in pair.items()})
         configs["train_fit_e2e"] = round(measure_train_fit(), 2)
         configs["train_fit_e2e_bf16"] = round(
             measure_train_fit(extras={"train_dtype": "bfloat16"}), 2)

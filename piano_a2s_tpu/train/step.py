@@ -46,16 +46,22 @@ def _ground_truth(batch: Dict[str, jnp.ndarray]):
 
 
 def _promote_staged(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    """Undo half-precision batch staging on device.
+    """Undo reduced-precision batch staging on device.
 
-    The harness may upload the spectrogram as float16 purely to halve the
-    host->device transfer (train/harness.py `upload_f16` — transfers do
-    not overlap compute on the tunnel-attached platform); compute wants
-    >=f32. A no-op for f32/f64 batches (parity paths unchanged)."""
+    The harness may upload the spectrogram as float16 or uint8 purely to
+    shrink the host->device transfer (train/harness.py `upload_dtype` —
+    transfers do not overlap compute on the tunnel-attached platform);
+    compute wants >=f32. uint8 staging exploits the log-VQT contract: the
+    spectrogram is db/80+1 with ref=max/top_db=80 (ops/vqt.log_compress),
+    hence exactly in [0, 1] — round(x*255) quantizes the log magnitude to
+    0.31 dB steps. A no-op for f32/f64 batches (parity paths unchanged)."""
     spec = batch["spectrogram"]
     if spec.dtype == jnp.float16:
         batch = dict(batch)
         batch["spectrogram"] = spec.astype(jnp.float32)
+    elif spec.dtype == jnp.uint8:
+        batch = dict(batch)
+        batch["spectrogram"] = spec.astype(jnp.float32) * (1.0 / 255.0)
     return batch
 
 

@@ -137,10 +137,61 @@ def test_f16_staged_batch_matches_f32_upload():
     assert np.isfinite(float(out.loss))
 
 
-def test_harness_stages_f16_only_for_bf16_training(tmp_path):
-    """upload_f16 defaults on under train_dtype=bfloat16 (train batches
-    staged f16, eval batches stay f32), can be opted out, and never
-    applies to f32-parity training."""
+def test_u8_staged_batch_matches_f32_upload():
+    """uint8 staging: a [0,1] spectrogram quantized to 1/255 steps is
+    dequantized on device (train/step._promote_staged) — the loss equals
+    the f32 upload of the SAME quantized values (exact path check) and
+    stays close to the unquantized loss (quantization is 0.31 dB on the
+    80 dB log scale, below the conv stack's bf16 rounding)."""
+    batch32 = _batch()
+    # Real spectrograms are log-VQT in [0,1] (ops/vqt.log_compress).
+    rng = np.random.RandomState(3)
+    spec = rng.rand(*batch32["spectrogram"].shape).astype(np.float32)
+    batch32 = dict(batch32, spectrogram=spec)
+    q = np.round(spec * 255.0).astype(np.uint8)
+    batch_u8 = dict(batch32, spectrogram=q)
+    batch_deq = dict(batch32,
+                     spectrogram=(q.astype(np.float32) / 255.0))
+
+    outs = {}
+    for tag, batch in (("f32", batch32), ("u8", batch_u8),
+                       ("deq", batch_deq)):
+        params, opt, opt_state, state = _fresh()
+        t_step, _ = make_jitted_steps(opt, CFG, conv_dtype=jnp.bfloat16)
+        p, o, s, out = t_step(params, opt_state, state, batch,
+                              jax.random.PRNGKey(1), 1.0)
+        outs[tag] = (float(out.loss), p, s)
+    # u8 upload == f32 upload of the dequantized values (same math).
+    np.testing.assert_allclose(outs["u8"][0], outs["deq"][0], rtol=1e-6)
+    # and the quantization itself is within bf16-level noise of f32.
+    np.testing.assert_allclose(outs["u8"][0], outs["f32"][0], rtol=1e-2)
+    for leaf in (jax.tree.leaves(outs["u8"][1])
+                 + jax.tree.leaves(outs["u8"][2])):
+        dt = np.asarray(leaf).dtype
+        assert dt == np.float32 or np.issubdtype(dt, np.integer), dt
+
+
+def test_u8_loss_decreases_over_steps():
+    """Learning works end-to-end through the u8-staged path."""
+    batch = _batch()
+    rng = np.random.RandomState(4)
+    spec = rng.rand(*batch["spectrogram"].shape).astype(np.float32)
+    batch["spectrogram"] = np.round(spec * 255.0).astype(np.uint8)
+    params, opt, opt_state, state = _fresh()
+    t_step, _ = make_jitted_steps(opt, CFG, conv_dtype=jnp.bfloat16)
+    losses = []
+    p, o, s = params, opt_state, state
+    for i in range(6):
+        p, o, s, out = t_step(p, o, s, batch, jax.random.PRNGKey(10), 1.0)
+        losses.append(float(out.loss))
+    assert losses[-1] < losses[0]
+
+
+def test_harness_staging_dtype_selection(tmp_path):
+    """upload_dtype defaults to uint8 under train_dtype=bfloat16 (train
+    batches staged u8, eval batches stay f32), honors explicit choices
+    and the legacy upload_f16 flag, and never applies to f32-parity
+    training."""
     from piano_a2s_tpu.config import ExperimentConfig
     from piano_a2s_tpu.train.harness import Trainer
 
@@ -162,20 +213,31 @@ def test_harness_stages_f16_only_for_bf16_training(tmp_path):
     batch["versions"] = [0, 0]
 
     tr = mk({"train_dtype": "bfloat16"})
-    assert tr.upload_f16
+    assert tr.upload_dtype == np.uint8
     assert tr._device_batch(batch, train=True)["spectrogram"].dtype \
-        == np.float16
+        == np.uint8
     assert tr._device_batch(batch)["spectrogram"].dtype == np.float32
 
+    tr = mk({"train_dtype": "bfloat16", "upload_dtype": "float16"})
+    assert tr.upload_dtype == np.float16
+    assert tr._device_batch(batch, train=True)["spectrogram"].dtype \
+        == np.float16
+
+    # legacy flag: upload_f16 true/false -> float16/float32 staging
+    tr = mk({"train_dtype": "bfloat16", "upload_f16": True})
+    assert tr.upload_dtype == np.float16
     tr = mk({"train_dtype": "bfloat16", "upload_f16": False})
-    assert not tr.upload_f16
+    assert tr.upload_dtype is None
     assert tr._device_batch(batch, train=True)["spectrogram"].dtype \
         == np.float32
 
     tr = mk({})
-    assert not tr.upload_f16
+    assert tr.upload_dtype is None
     assert tr._device_batch(batch, train=True)["spectrogram"].dtype \
         == np.float32
+
+    with pytest.raises(ValueError):
+        mk({"train_dtype": "bfloat16", "upload_dtype": "int4"})
 
 
 def test_harness_train_dtype_extras(tmp_path):
@@ -209,10 +271,11 @@ def test_harness_train_dtype_extras(tmp_path):
     train_loader = DataLoader(train_ds, 2, shuffle=True, seed=0)
     trainer.fit(train_loader, DataLoader(valid_ds, 2))
     assert np.isfinite(trainer.train_stats["loss"])
-    # fit installed the f16 staging cast in the loader (prefetch thread),
-    # and batches coming out of it carry float16 spectrograms.
+    # fit installed the staging cast in the loader (prefetch thread),
+    # and batches coming out of it carry uint8 spectrograms (the bf16
+    # default staging dtype).
     assert train_loader.transform is not None
-    assert next(iter(train_loader))["spectrogram"].dtype == np.float16
+    assert next(iter(train_loader))["spectrogram"].dtype == np.uint8
 
     exp.extras["train_dtype"] = "int8"
     with pytest.raises(ValueError):
