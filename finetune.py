@@ -71,13 +71,15 @@ def main(argv=None):
                   f"{pretrained_save!r} — finetuning from RANDOM weights")
     trainer.barrier("finetune:after-warmstart-import")
 
-    train_ds = ASAPDataset(exp.feature_folder, "train",
-                           max_frame_num=exp.max_frame_num,
-                           max_length=exp.max_length)
+    # extras `input_features: audio` = on-device-VQT training from raw
+    # clips (see pretrain.py).
+    ds_kw = dict(
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
+        input_features=exp.extras.get("input_features", "spectrogram"),
+        max_samples=(exp.max_frame_num - 1) * exp.hop_length)
+    train_ds = ASAPDataset(exp.feature_folder, "train", **ds_kw)
     # valid == test in the reference finetune setup (finetune.py:261-263)
-    test_ds = ASAPDataset(exp.feature_folder, "test",
-                          max_frame_num=exp.max_frame_num,
-                          max_length=exp.max_length)
+    test_ds = ASAPDataset(exp.feature_folder, "test", **ds_kw)
 
     # Per-host sharded train loading in multi-host runs (see pretrain.py).
     import jax

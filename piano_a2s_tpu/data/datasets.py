@@ -11,6 +11,10 @@ On-disk layout (identical to the reference):
   {feature_folder}/{split}/{version}/target/{name}.pkl
       pickle: list of per-measure [key, time_sig, lower_tokens, upper_tokens]
   {feature_folder}/{split}/{version}/info/{name}.json         (composer etc.)
+  {feature_folder}/{split}/{version}/audio/{name}.npy         optional: raw
+      mono clip @ model rate (f32 in [-1,1] or int16 PCM) — read instead of
+      spectrograms with input_features="audio" (the on-device-VQT training
+      mode; train/step.make_audio_frontend)
 
 Item contract (the reference's 9-tuple, as a dict):
   spectrogram (1, max_frame_num, 480) f32; time_sig (bars,) i32 (index into
@@ -56,10 +60,24 @@ def _load_pkl(path: str):
 class _DatasetBase:
     def __init__(self, feature_folder: str, split: str,
                  max_frame_num: int = 1201,
-                 max_length=(398, 189)):
+                 max_length=(398, 189),
+                 input_features: str = "spectrogram",
+                 max_samples: Optional[int] = None):
+        """input_features="audio" reads raw clips ({...}/audio/{name}.npy,
+        float32 in [-1,1] or int16 PCM at the model sample rate — the
+        layout data/synth.py writes) instead of precomputed spectrograms;
+        the train/eval steps then run the log-VQT frontend on device
+        (train/step.make_audio_frontend). max_samples defaults to
+        (max_frame_num-1) * the 160-sample hop (= 12 s at 16 kHz)."""
+        if input_features not in ("spectrogram", "audio"):
+            raise ValueError(f"input_features={input_features!r}: "
+                             f"'spectrogram' or 'audio'")
         self.feature_folder = feature_folder
         self.split = split
+        self.feature_key = input_features
         self.max_frame_num = max_frame_num
+        self.max_samples = (max_samples if max_samples is not None
+                            else (max_frame_num - 1) * 160)
         self.max_length = tuple(max_length)
         self.time_sig_list = load_time_signatures()
         self.time_sig_dict = {t: i for i, t in enumerate(self.time_sig_list)}
@@ -115,16 +133,36 @@ class _DatasetBase:
                 "upper": upper, "upper_lengths": upper_len,
                 "lower": lower, "lower_lengths": lower_len}
 
+    def pad_audio(self, audio: np.ndarray) -> np.ndarray:
+        """Trim/zero-pad a mono clip to max_samples, preserving int16
+        (half the upload bytes, converted on device — the serving
+        contract, infer.Transcriber._prep_audio)."""
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
+        audio = audio[: self.max_samples]
+        if len(audio) < self.max_samples:
+            audio = np.pad(audio, (0, self.max_samples - len(audio)))
+        return audio
+
     def load_spectrogram(self, locator) -> np.ndarray:
         feature_folder, spectrogram_name, _ = locator
         spec = _load_npy(os.path.join(feature_folder, "spectrogram",
                                       f"{spectrogram_name}.npy"))
         return self.pad_spectrogram(spec)
 
+    def load_features(self, locator) -> np.ndarray:
+        """The heavy per-item array under the configured feature_key."""
+        if self.feature_key == "spectrogram":
+            return self.load_spectrogram(locator)
+        feature_folder, name, _ = locator
+        return self.pad_audio(_load_npy(
+            os.path.join(feature_folder, "audio", f"{name}.npy")))
+
     def _item(self, feature_folder: str, spectrogram_name: str,
               version) -> Dict[str, Any]:
         locator = (feature_folder, spectrogram_name, version)
-        return {"spectrogram": self.load_spectrogram(locator),
+        return {self.feature_key: self.load_features(locator),
                 **self.load_target(locator),
                 "name": spectrogram_name, "version": version}
 
@@ -143,7 +181,7 @@ class SyntheticTrainDataset(_DatasetBase):
         self.lengths: Dict[Any, int] = {}
         for v in self.versions:
             folder = os.path.join(feature_folder, split, str(v),
-                                  "spectrogram")
+                                  self.feature_key)
             songs = sorted(s[:-4] for s in os.listdir(folder))
             self.song_list[v] = songs
             self.lengths[v] = len(songs)
@@ -173,7 +211,7 @@ class SyntheticTestDataset(_DatasetBase):
         self.items: List[tuple] = []
         for v in versions:
             folder = os.path.join(feature_folder, split, str(v),
-                                  "spectrogram")
+                                  self.feature_key)
             for song in sorted(os.listdir(folder)):
                 self.items.append((song[:-4], v))
 
@@ -195,7 +233,7 @@ class ASAPDataset(_DatasetBase):
 
     def __init__(self, feature_folder: str, split: str, **kw):
         super().__init__(feature_folder, split, **kw)
-        folder = os.path.join(feature_folder, split, "spectrogram")
+        folder = os.path.join(feature_folder, split, self.feature_key)
         self.songs = sorted(s[:-4] for s in os.listdir(folder))
 
     def __len__(self) -> int:
@@ -212,8 +250,10 @@ class ASAPDataset(_DatasetBase):
 def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack items into a device-ready batch dict (+ host-side names)."""
     batch = {}
-    for k in ("spectrogram", "time_sig", "key", "upper", "upper_lengths",
-              "lower", "lower_lengths"):
+    for k in ("spectrogram", "audio", "time_sig", "key", "upper",
+              "upper_lengths", "lower", "lower_lengths"):
+        if k not in items[0]:
+            continue
         batch[k] = np.stack([it[k] for it in items])
     batch["names"] = [it["name"] for it in items]
     batch["versions"] = [it["version"] for it in items]
@@ -288,9 +328,15 @@ class DataLoader:
                 t_cache[loc] = self.dataset.load_target(loc)
             return t_cache[loc]
 
+        # Custom datasets without the feature_key/load_features surface
+        # keep working through the spectrogram names.
+        feature_key = getattr(self.dataset, "feature_key", "spectrogram")
+        load_features = getattr(self.dataset, "load_features",
+                                self.dataset.load_spectrogram)
+
         def load_s(loc):
             if loc not in s_cache:
-                s_cache[loc] = self.dataset.load_spectrogram(loc)
+                s_cache[loc] = load_features(loc)
             return s_cache[loc]
 
         targets = [load_t(loc) for loc in locators]
@@ -300,7 +346,7 @@ class DataLoader:
         batch = {k: np.stack([t[k] for t in targets])
                  for k in ("time_sig", "key", "upper", "upper_lengths",
                            "lower", "lower_lengths")}
-        batch["spectrogram"] = np.stack(specs)
+        batch[feature_key] = np.stack(specs)
         batch["names"] = [loc[1] for loc in locators]
         batch["versions"] = [loc[2] for loc in locators]
         batch["n_real"] = n_real

@@ -30,20 +30,29 @@ from .schedulers import NewBobScheduler, teacher_forcing_ratio
 from .step import make_jitted_steps, make_optimizer, set_learning_rate
 
 
-def _stage_cast(dtype):
+def _stage_cast(dtype, key: str = "spectrogram"):
     """Loader-thread staging cast for upload_dtype (see Trainer.fit).
 
     uint8 staging quantizes the [0,1] log-VQT to 1/255 steps (0.31 dB on
     the 80 dB scale); the clip guards degenerate inputs — real
-    spectrograms are in-range by construction (ops/vqt.log_compress)."""
+    spectrograms are in-range by construction (ops/vqt.log_compress).
+    int16 staging (audio batches) uses the PCM16 scale the device
+    conversion inverts exactly (train/step.make_audio_frontend) — the
+    fidelity a 16-bit WAV source had anyway."""
     def transform(batch):
         batch = dict(batch)
-        spec = batch["spectrogram"]
+        a = batch[key]
         if dtype == np.uint8:
-            spec = np.round(np.clip(spec, 0.0, 1.0) * 255.0).astype(np.uint8)
+            a = np.round(np.clip(a, 0.0, 1.0) * 255.0).astype(np.uint8)
+        elif dtype == np.int16:
+            if a.dtype != np.int16:
+                from ..utils.audio import PCM16_SCALE
+                a = np.clip(np.round(np.asarray(a, np.float32)
+                                     * PCM16_SCALE),
+                            -32768, 32767).astype(np.int16)
         else:
-            spec = np.asarray(spec, dtype)
-        batch["spectrogram"] = spec
+            a = np.asarray(a, dtype)
+        batch[key] = a
         return batch
     return transform
 
@@ -99,8 +108,30 @@ class Trainer:
         # keeps f32 uploads (parity). Select with extras `upload_dtype:
         # uint8|float16|float32` (legacy `upload_f16: true/false` maps to
         # float16/float32).
+        # Training from raw audio (extras `input_features: audio`): the
+        # log-VQT frontend runs on device inside the train/eval steps
+        # (train/step.make_audio_frontend); datasets must be built with
+        # the same input_features so batches carry "audio".
+        feats = str(exp.extras.get("input_features", "spectrogram"))
+        if feats not in ("spectrogram", "audio"):
+            raise ValueError(f"input_features={feats!r}: "
+                             f"'spectrogram' or 'audio'")
+        self.from_audio = feats == "audio"
+        self.feature_key = feats
         self.upload_dtype = None
-        if self.conv_dtype is not None:
+        if self.from_audio:
+            # Audio batches default to int16 staging (the serving
+            # contract: exact for 16-bit PCM sources, half the bytes).
+            choice = exp.extras.get("upload_dtype", "int16")
+            try:
+                self.upload_dtype = {
+                    "float32": None, "f32": None,
+                    "int16": np.int16, "i16": np.int16}[str(choice)]
+            except KeyError:
+                raise ValueError(
+                    f"upload_dtype={choice!r}: audio batches support "
+                    f"'int16' or 'float32'") from None
+        elif self.conv_dtype is not None:
             choice = exp.extras.get("upload_dtype")
             if choice is None:
                 legacy = exp.extras.get("upload_f16")
@@ -119,7 +150,9 @@ class Trainer:
                     f"'uint8', 'float16', 'float32'") from None
         self.train_step, self.eval_step = make_jitted_steps(
             self.optimizer, self.cfg, mesh=self.mesh,
-            accum_steps=self.accum_steps, conv_dtype=self.conv_dtype)
+            accum_steps=self.accum_steps, conv_dtype=self.conv_dtype,
+            from_audio=self.from_audio, vqt_cfg=exp.vqt_config(),
+            max_frame_num=exp.max_frame_num)
         # Length-bucketed train steps: the decode scan length is static, so
         # batches whose longest target is far below the 398/189 caps run a
         # shorter compiled variant (loss/gradient-exact: positions past the
@@ -169,11 +202,11 @@ class Trainer:
         if train and self.upload_dtype is not None:
             # Shrink the host->device bytes for the dominant batch array;
             # the train step converts back to f32 at entry (train/step.py).
-            # Eval batches stay f32: validation WER is a parity surface.
-            # No-op when the loader's staging transform already cast it.
-            if dev["spectrogram"].dtype != self.upload_dtype:
-                dev["spectrogram"] = _stage_cast(self.upload_dtype)(
-                    {"spectrogram": dev["spectrogram"]})["spectrogram"]
+            # Eval batches stay as loaded: validation WER is a parity
+            # surface. No-op when the loader's transform already cast it.
+            k = self.feature_key
+            if dev[k].dtype != self.upload_dtype:
+                dev[k] = _stage_cast(self.upload_dtype, k)({k: dev[k]})[k]
         # Zero-weight the final batch's padding duplicates so they add
         # nothing to losses/gradients (shapes stay static & mesh-divisible).
         # Known approximation: duplicates still enter train-mode BatchNorm
@@ -189,10 +222,12 @@ class Trainer:
             if local_rows is None:
                 self._assert_hosts_agree(dev)
             else:
-                # Per-host sharded loading: spectrogram arrays differ by
-                # design; the cross-host contract is the GLOBAL surface —
-                # targets, weights, and the batch plan (names/versions).
-                meta = {k: v for k, v in dev.items() if k != "spectrogram"}
+                # Per-host sharded loading: the heavy feature arrays
+                # (spectrogram/audio) differ by design; the cross-host
+                # contract is the GLOBAL surface — targets, weights, and
+                # the batch plan (names/versions).
+                meta = {k: v for k, v in dev.items()
+                        if k not in ("spectrogram", "audio")}
                 meta["names"] = np.frombuffer(
                     "\x00".join(map(str, batch["names"])).encode(),
                     np.uint8)
@@ -303,7 +338,10 @@ class Trainer:
             self._bucket_steps[key] = make_jitted_steps(
                 self.optimizer, cfg_b, mesh=self.mesh,
                 accum_steps=self.accum_steps,
-                conv_dtype=self.conv_dtype)[0]
+                conv_dtype=self.conv_dtype,
+                from_audio=self.from_audio,
+                vqt_cfg=self.exp.vqt_config(),
+                max_frame_num=self.exp.max_frame_num)[0]
         batch = dict(batch)
         batch["upper"] = batch["upper"][:, :, :bu]
         batch["lower"] = batch["lower"][:, :, :bl]
@@ -318,9 +356,10 @@ class Trainer:
                 and getattr(train_loader, "transform", "absent") is None):
             # Do the staging cast where batches are built (the loader's
             # prefetch thread) so the ~tens-of-ms host cast/quantization
-            # of each spectrogram batch overlaps device compute;
-            # _device_batch's fallback cast then no-ops.
-            train_loader.transform = _stage_cast(self.upload_dtype)
+            # of each batch overlaps device compute; _device_batch's
+            # fallback cast then no-ops.
+            train_loader.transform = _stage_cast(self.upload_dtype,
+                                                 self.feature_key)
         self.try_resume()
         for epoch in range(self.start_epoch, epochs + 1):
             tf = teacher_forcing_ratio(self.exp.teacher_forcing_ratio,

@@ -65,6 +65,41 @@ def _promote_staged(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return batch
 
 
+def make_audio_frontend(vqt_cfg=None, max_frame_num: int = 1201):
+    """Batch prep for training FROM RAW AUDIO: the batch carries "audio"
+    (B, samples) instead of "spectrogram", and the log-VQT frontend runs
+    on device inside the same XLA program as the step — the TPU-native
+    counterpart of the reference's offline `librosa.vqt` + .npy cache
+    (reference: utilities.py:240-254, render.py:491-512). Same fused
+    frontend contract as serving (infer.Transcriber's infer_audio):
+    int16 PCM converts with read_wav's exact /32768 scale, frames are
+    trimmed/zero-padded to max_frame_num. The spectrogram is an input,
+    not a parameter — stop_gradient keeps autodiff from tracking the
+    frontend. Host->device traffic: 0.38 MB/clip int16 audio vs 2.3 MB
+    f32 (0.58 MB uint8) spectrograms."""
+    from ..ops.vqt import VQTConfig, build_kernels, get_vqt
+    from ..utils.audio import PCM16_SCALE
+
+    vqt_cfg = vqt_cfg or VQTConfig()
+    kernels = tuple(map(jnp.asarray, build_kernels(vqt_cfg)))
+
+    def prep(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        batch = dict(batch)
+        audio = batch.pop("audio")
+        if audio.dtype == jnp.int16:
+            audio = audio.astype(jnp.float32) / PCM16_SCALE
+        spec = get_vqt(audio, kernels, vqt_cfg)  # (B, T, bins)
+        t = spec.shape[1]
+        if t >= max_frame_num:
+            spec = spec[:, :max_frame_num]
+        else:
+            spec = jnp.pad(spec, ((0, 0), (0, max_frame_num - t), (0, 0)))
+        batch["spectrogram"] = jax.lax.stop_gradient(spec[:, None])
+        return batch
+
+    return prep
+
+
 class StepOutput(NamedTuple):
     loss: jnp.ndarray
     components: Dict[str, jnp.ndarray]
@@ -72,15 +107,17 @@ class StepOutput(NamedTuple):
 
 def train_step(params, opt_state, state, batch, rng, tf_ratio,
                optimizer: optax.GradientTransformation,
-               cfg: ModelConfig, conv_dtype=None):
+               cfg: ModelConfig, conv_dtype=None, prep=_promote_staged):
     """Pure train step: returns (params, opt_state, state, StepOutput).
 
     Uses the fused-loss forward (emit_full=False): the per-step gt-picked
     log-probs feed the NLL directly, so the (B, bars, T, V) staff
     distributions (22 GB at B=16) are never materialized.
     conv_dtype=jnp.bfloat16 runs the conv stack in mixed precision
-    (matmuls + saved activations bf16, BN stats f32)."""
-    batch = _promote_staged(batch)
+    (matmuls + saved activations bf16, BN stats f32). `prep` maps the
+    uploaded batch to the model's input contract (staged-dtype promotion
+    by default; the on-device VQT frontend for audio batches)."""
+    batch = prep(batch)
 
     def loss_fn(p):
         outs, new_state = forward(
@@ -114,7 +151,8 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
 
 def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
                      optimizer: optax.GradientTransformation,
-                     cfg: ModelConfig, accum_steps: int, conv_dtype=None):
+                     cfg: ModelConfig, accum_steps: int, conv_dtype=None,
+                     prep=_promote_staged):
     """Gradient-accumulation train step: the batch is split into
     `accum_steps` microbatches scanned sequentially, so the compiled
     program's activation footprint (and the XLA program the remote
@@ -134,7 +172,9 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     running stats (ops/layers.batch_norm), so microbatches 1..k-1 see no
     difference from the discarded updates.
     """
-    batch = _promote_staged(batch)
+    # prep (staged-dtype promotion / on-device VQT) runs INSIDE the
+    # microbatch body: only one microbatch's f32 spectrogram is ever live
+    # (totals depend only on the targets, which prep never touches).
     sw = batch.get("sample_weight")
     totals = component_totals(batch, cfg.pad, sample_weight=sw)
 
@@ -146,6 +186,7 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     rngs = jax.random.split(rng, accum_steps)
 
     def micro_loss(p, mb, key):
+        mb = prep(mb)
         outs, new_st = forward(
             p, state, mb["spectrogram"], key, cfg=cfg, train=True,
             ground_truth=_ground_truth(mb), tf_ratio=tf_ratio,
@@ -167,7 +208,8 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     zeros_grads = jax.tree.map(jnp.zeros_like, params)
     # Numerator dtype follows the compute dtype (f64 under jax x64) — a
     # hard-coded f32 carry would fail scan's carry-type check there.
-    num_dt = jnp.result_type(batch["spectrogram"].dtype,
+    inp = batch.get("spectrogram", batch.get("audio"))
+    num_dt = jnp.result_type(inp.dtype,
                              jax.tree.leaves(params)[0].dtype, jnp.float32)
     zeros_nums = {k: jnp.zeros((), num_dt)
                   for k in ("time_loss", "key_loss", "upper_loss",
@@ -195,10 +237,12 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     return new_params, new_opt_state, new_state, StepOutput(loss, comps)
 
 
-def eval_step(params, state, batch, cfg: ModelConfig):
+def eval_step(params, state, batch, cfg: ModelConfig,
+              prep=_promote_staged):
     """Free-running inference + loss of inference outputs vs targets
     (reference: pretrain.py:131-136 — eval loss is computed on the
     free-running decode). Returns (StepOutput, predictions dict)."""
+    batch = prep(batch)
     outs, _ = forward(params, state, batch["spectrogram"],
                       jax.random.PRNGKey(0), cfg=cfg, train=False,
                       ground_truth=None, tf_ratio=0.0)
@@ -218,7 +262,8 @@ def eval_step(params, state, batch, cfg: ModelConfig):
 
 def make_jitted_steps(optimizer: optax.GradientTransformation,
                       cfg: ModelConfig, mesh=None, accum_steps: int = 1,
-                      conv_dtype=None):
+                      conv_dtype=None, from_audio: bool = False,
+                      vqt_cfg=None, max_frame_num: int = 1201):
     """Compile the steps. With a mesh, batches are sharded along the leading
     (batch) axis of the `data` mesh axis and params/opt/state are replicated;
     XLA inserts the gradient all-reduce (psum over ICI) automatically.
@@ -226,14 +271,19 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     (train_step_accum) — the batch's leading axis must be divisible by it.
     conv_dtype=jnp.bfloat16 enables mixed-precision conv-stack training
     (eval steps are unaffected — eval precision is decode_dtype's domain).
+    from_audio=True makes both steps take "audio" batches and run the
+    log-VQT frontend on device (make_audio_frontend).
     """
+    prep = (make_audio_frontend(vqt_cfg, max_frame_num) if from_audio
+            else _promote_staged)
     if accum_steps > 1:
         t_step = partial(train_step_accum, optimizer=optimizer, cfg=cfg,
-                         accum_steps=accum_steps, conv_dtype=conv_dtype)
+                         accum_steps=accum_steps, conv_dtype=conv_dtype,
+                         prep=prep)
     else:
         t_step = partial(train_step, optimizer=optimizer, cfg=cfg,
-                         conv_dtype=conv_dtype)
-    e_step = partial(eval_step, cfg=cfg)
+                         conv_dtype=conv_dtype, prep=prep)
+    e_step = partial(eval_step, cfg=cfg, prep=prep)
     if mesh is None:
         return (jax.jit(t_step, donate_argnums=(0, 1, 2)),
                 jax.jit(e_step))

@@ -67,19 +67,23 @@ def main(argv=None):
 
     import numpy as np
     n_train_versions = int(exp.extras.get("train_versions", 10))
+    # extras `input_features: audio` reads raw clips (features/.../audio/)
+    # and runs the log-VQT frontend on device inside the train/eval steps
+    # — no offline spectrogram stage, ~6x less feature disk/IO.
+    ds_kw = dict(
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
+        input_features=exp.extras.get("input_features", "spectrogram"),
+        max_samples=(exp.max_frame_num - 1) * exp.hop_length)
     train_ds = SyntheticTrainDataset(
         exp.feature_folder, "train", versions=range(n_train_versions),
-        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
-        rng=np.random.RandomState(exp.seed))
+        rng=np.random.RandomState(exp.seed), **ds_kw)
     # 4 composer-EPR variants for 'epr', 1 for 'score'
     # (reference: pretrain.py:271-274)
     test_versions = range(4) if exp.midi_syn == "epr" else [0]
     valid_ds = SyntheticTestDataset(
-        exp.feature_folder, "valid", versions=test_versions,
-        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+        exp.feature_folder, "valid", versions=test_versions, **ds_kw)
     test_ds = SyntheticTestDataset(
-        exp.feature_folder, "test", versions=test_versions,
-        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+        exp.feature_folder, "test", versions=test_versions, **ds_kw)
 
     trainer = Trainer(exp, use_mesh=args.data_parallel)
     # Multi-host: per-host sharded TRAIN loading — each process reads only
