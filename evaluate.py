@@ -1,89 +1,15 @@
 #!/usr/bin/env python3
-"""Offline evaluation: MV2H + MUSTER + WER/F1 summaries.
+"""Offline evaluation (MV2H + MUSTER + WER/F1): python evaluate.py [configs/finetune.yaml] (thin launcher; implementation: piano_a2s_tpu.cli.evaluate)."""
 
-Usage: python evaluate.py [configs/finetune.yaml] [key=value ...]
-
-Mirrors the reference's evaluate.py entry (reference: evaluate.py:174-186):
-exports every test-result prediction and target to MusicXML/MIDI (native,
-no external converters), runs the external MV2H Java tool on each pair,
-and prints the summary tables. WER/F1 summaries work without Java.
-"""
-
-import argparse
 import os
-import shutil
 import sys
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("hparams", nargs="?", default="configs/finetune.yaml")
-    parser.add_argument("overrides", nargs="*")
-    parser.add_argument("--split", default="test")
-    parser.add_argument("--muster", action="store_true",
-                        help="also compute the MUSTER 11-component score "
-                             "error rate over the XML pairs exported by "
-                             "the MV2H stage (requires the external "
-                             "MUSTER tool, which writes ER.txt into the "
-                             "cwd; reference: evaluate.py get_ER)")
-    parser.add_argument("--muster-script",
-                        default="./MUSTER/evaluate_XML_voicePlus.sh",
-                        metavar="SCRIPT",
-                        help="path to MUSTER's evaluate_XML_voicePlus.sh")
-    args = parser.parse_args(argv)
-
-    from piano_a2s_tpu.config import load_experiment
-    from piano_a2s_tpu.train.evaluate_offline import (
-        get_muster_er, get_mv2h_from_test, summarize_asap_mv2h,
-        summarize_syn_mv2h, summarize_wer_and_f1)
-
-    exp = load_experiment(args.hparams, args.overrides)
-    folders = [f for f in (exp.pretrained_output_folder, exp.output_folder)
-               if f and os.path.isdir(os.path.join(f, "results", args.split))]
-    if not folders:
-        print("no results folders found; run pretrain/finetune first")
-        return 1
-
-    have_java = shutil.which("java") is not None
-    for folder in folders:
-        metrics, n = summarize_wer_and_f1(folder, args.split)
-        print(f"{folder}: WER/F1 over {n} clips: "
-              f"{ {k: round(v, 4) for k, v in metrics.items()} }")
-        if have_java and exp.mv2h_bin and os.path.exists(exp.mv2h_bin):
-            # 10 s/pair is the reference's contract (evaluate.py:40-60);
-            # mv2h_timeout raises it for slow/loaded hosts.
-            timeout = float(exp.extras.get("mv2h_timeout", 10.0))
-            errors = get_mv2h_from_test(folder, args.split, exp.mv2h_bin,
-                                        timeout=timeout)
-            print(f"{folder}: MV2H export errors: {len(errors)}")
-            if folder == exp.output_folder and "asap" in exp.feature_folder:
-                m, four, n = summarize_asap_mv2h(folder, split=args.split)
-            else:
-                m, four, n = summarize_syn_mv2h(folder, split=args.split)
-            print(f"{folder}: MV2H over {n} clips: "
-                  f"{ {k: round(v, 4) for k, v in m.items()} }, "
-                  f"4-way mean {four:.4f}")
-        elif not have_java:
-            print("java not available: skipping MV2H (WER/F1 only)")
-        else:
-            print(f"MV2H tool not found (mv2h_bin={exp.mv2h_bin!r}): "
-                  "skipping MV2H (WER/F1 only)")
-        if args.muster:
-            import shutil as _shutil
-            if not (os.path.exists(args.muster_script)
-                    or _shutil.which(args.muster_script)):
-                print(f"MUSTER tool not found "
-                      f"(--muster-script={args.muster_script!r}): "
-                      "skipping MUSTER")
-            elif not os.path.isdir(os.path.join(folder, "results", "mv2h")):
-                print(f"{folder}: no MV2H exports yet (MUSTER consumes the "
-                      "XML pairs the MV2H stage writes): skipping MUSTER")
-            else:
-                ers, n_pairs = get_muster_er(folder, args.muster_script)
-                print(f"{folder}: MUSTER ER over {n_pairs} pairs: "
-                      f"{[round(float(e), 4) for e in ers]}")
-    return 0
-
+from piano_a2s_tpu.cli.evaluate import main  # noqa: E402
 
 if __name__ == "__main__":
     sys.exit(main())
