@@ -36,9 +36,16 @@ class Transcriber:
     def __init__(self, params, state, cfg: ModelConfig = ModelConfig(),
                  vqt_cfg: VQTConfig = VQTConfig(),
                  max_frame_num: int = 1201, decode_dtype=None,
-                 use_mesh: bool = False):
+                 use_mesh: bool = False, decode_chunk="auto"):
         """use_mesh=True shards inference batches over all devices (data
-        parallelism for serving); params are replicated."""
+        parallelism for serving); params are replicated.
+
+        decode_chunk (default "auto"): decode the batch in chunks whose
+        attention operands stay VMEM-resident across the sequential
+        decode steps — ~2x full-length f32 decode at batch 64, exact
+        per-clip math (models.forward). Disabled under use_mesh (the
+        chunk reshape would cross batch-shard boundaries); pass None to
+        disable explicitly."""
         self.cfg = cfg
         self.vqt_cfg = vqt_cfg
         self.max_frame_num = max_frame_num
@@ -54,11 +61,13 @@ class Transcriber:
             self._batch_sharding = shard_batch(self.mesh)
         self.params = params
         self.state = state
+        decode_chunk = None if use_mesh else decode_chunk
 
         def infer(params, state, spec_batch):
             (ts, key, up, low, aux), _ = forward(
                 params, state, spec_batch, jax.random.PRNGKey(0), cfg=cfg,
-                train=False, decode_dtype=decode_dtype)
+                train=False, decode_dtype=decode_dtype,
+                decode_chunk=decode_chunk)
             return (jnp.argmax(ts, -1), jnp.argmax(key, -1),
                     aux["upper_tokens"], aux["lower_tokens"],
                     aux["upper_lengths"], aux["lower_lengths"])

@@ -675,10 +675,29 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
 # Full forward
 # ---------------------------------------------------------------------------
 
+def pick_decode_chunk(decode_chunk, batch: int, decode_dtype=None):
+    """Resolve a decode_chunk setting to a concrete divisor of `batch`
+    (or None for unchunked). "auto" picks the largest chunk whose decode
+    loop invariants (enc + both staves' attention projections + stacked
+    decoder weights, ~5.8 MB/clip f32) fit VMEM so XLA keeps them
+    chip-resident across the ~2000 sequential steps: 16 for f32, 32 for
+    bf16 (measured crossover, docs/DESIGN.md §2)."""
+    if decode_chunk in (None, 0, False):
+        return None
+    if decode_chunk == "auto":
+        decode_chunk = 32 if decode_dtype == jnp.bfloat16 else 16
+    chunk = int(decode_chunk)
+    if batch <= chunk:
+        return None
+    while batch % chunk:
+        chunk -= 1
+    return chunk if chunk > 1 else None
+
+
 def forward(params, state, spectrogram: jnp.ndarray, rng,
             cfg: ModelConfig = ModelConfig(), train: bool = False,
             ground_truth=None, tf_ratio=0.0, decode_dtype=None,
-            emit_full: bool = True, conv_dtype=None):
+            emit_full: bool = True, conv_dtype=None, decode_chunk=None):
     """Full model forward.
 
     spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
@@ -689,6 +708,17 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
     distributions — see hierarchical_decoder_apply. conv_dtype (train
     path; e.g. jnp.bfloat16) enables mixed-precision conv-stack TRAINING
     — see conv_stack_apply's compute_dtype.
+
+    decode_chunk (int or "auto"; inference only): run the decoder over
+    batch chunks of this size via lax.map while conv/encoder stay
+    full-batch. Each clip decodes independently, so this is exact
+    per-clip math — but it keeps each chunk's decode-loop invariants
+    small enough for XLA to hold in VMEM across the ~2000 sequential
+    steps instead of re-streaming ~330 MB/step from HBM (measured at
+    B=64 f32: 602 -> 310 ms full-length; token-exact on EOS-terminating
+    models and neutral when early exit engages; docs/DESIGN.md §2).
+    Ignored when the batch is already <= chunk. Do not combine with a
+    batch-sharded mesh (the chunk reshape would cross shard boundaries).
     """
     k_conv, k_dec = jax.random.split(rng)
     conv_x = spectrogram
@@ -710,9 +740,27 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
     # pass through unchanged (x64 parity runs stay f64).
     feats = feats.astype(jnp.promote_types(feats.dtype, jnp.float32))
     enc, hidden = encoder_apply(params["encoder"], feats)
-    ts, key, up, low, aux = hierarchical_decoder_apply(
-        params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec,
-        decode_dtype=decode_dtype, emit_full=emit_full)
+    chunk = (pick_decode_chunk(decode_chunk, enc.shape[0], decode_dtype)
+             if not train and ground_truth is None else None)
+    if chunk:
+        k = enc.shape[0] // chunk
+
+        def dec_chunk(args):
+            enc_c, hid_c = args
+            return hierarchical_decoder_apply(
+                params, cfg, enc_c, hid_c, None, tf_ratio, False, k_dec,
+                decode_dtype=decode_dtype, emit_full=emit_full)
+
+        outs = jax.lax.map(dec_chunk,
+                           (enc.reshape(k, chunk, *enc.shape[1:]),
+                            hidden.reshape(k, chunk, hidden.shape[-1])))
+        ts, key, up, low, aux = jax.tree.map(
+            lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]),
+            outs)
+    else:
+        ts, key, up, low, aux = hierarchical_decoder_apply(
+            params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec,
+            decode_dtype=decode_dtype, emit_full=emit_full)
     return (ts, key, up, low, aux), {"convstack": new_conv_state}
 
 

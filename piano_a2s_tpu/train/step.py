@@ -238,14 +238,17 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
 
 
 def eval_step(params, state, batch, cfg: ModelConfig,
-              prep=_promote_staged):
+              prep=_promote_staged, decode_chunk=None):
     """Free-running inference + loss of inference outputs vs targets
     (reference: pretrain.py:131-136 — eval loss is computed on the
-    free-running decode). Returns (StepOutput, predictions dict)."""
+    free-running decode). Returns (StepOutput, predictions dict).
+    decode_chunk: see models.forward — VMEM-resident chunked decode for
+    large eval batches (exact per-clip math)."""
     batch = prep(batch)
     outs, _ = forward(params, state, batch["spectrogram"],
                       jax.random.PRNGKey(0), cfg=cfg, train=False,
-                      ground_truth=None, tf_ratio=0.0)
+                      ground_truth=None, tf_ratio=0.0,
+                      decode_chunk=decode_chunk)
     ts_logp, key_logp, up_logp, low_logp, aux = outs
     loss, comps = transcription_loss(
         outs, batch, cfg.pad, sample_weight=batch.get("sample_weight"))
@@ -273,6 +276,12 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     (eval steps are unaffected — eval precision is decode_dtype's domain).
     from_audio=True makes both steps take "audio" batches and run the
     log-VQT frontend on device (make_audio_frontend).
+
+    The eval step uses the VMEM-resident chunked decode ("auto") on
+    single-device runs — exact per-clip math, ~2x full-length free
+    decode at batch >=32 (models.pick_decode_chunk). Sharded (mesh)
+    eval stays unchunked: the chunk reshape would cross batch-shard
+    boundaries.
     """
     prep = (make_audio_frontend(vqt_cfg, max_frame_num) if from_audio
             else _promote_staged)
@@ -283,7 +292,8 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     else:
         t_step = partial(train_step, optimizer=optimizer, cfg=cfg,
                          conv_dtype=conv_dtype, prep=prep)
-    e_step = partial(eval_step, cfg=cfg, prep=prep)
+    e_step = partial(eval_step, cfg=cfg, prep=prep,
+                     decode_chunk=None if mesh is not None else "auto")
     if mesh is None:
         return (jax.jit(t_step, donate_argnums=(0, 1, 2)),
                 jax.jit(e_step))
