@@ -67,11 +67,8 @@ def main(argv=None):
     trainer.barrier("finetune:after-warmstart-import")
 
     # extras `input_features: audio` = on-device-VQT training from raw
-    # clips (see pretrain.py).
-    ds_kw = dict(
-        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
-        input_features=exp.extras.get("input_features", "spectrogram"),
-        max_samples=(exp.max_frame_num - 1) * exp.hop_length)
+    # clips (see pretrain.py; prepare_data's asap pass writes audio/).
+    ds_kw = exp.dataset_kwargs()
     train_ds = ASAPDataset(exp.feature_folder, "train", **ds_kw)
     # valid == test in the reference finetune setup (finetune.py:261-263)
     test_ds = ASAPDataset(exp.feature_folder, "test", **ds_kw)

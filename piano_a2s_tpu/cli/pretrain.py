@@ -65,10 +65,7 @@ def main(argv=None):
     # extras `input_features: audio` reads raw clips (features/.../audio/)
     # and runs the log-VQT frontend on device inside the train/eval steps
     # — no offline spectrogram stage, ~6x less feature disk/IO.
-    ds_kw = dict(
-        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
-        input_features=exp.extras.get("input_features", "spectrogram"),
-        max_samples=(exp.max_frame_num - 1) * exp.hop_length)
+    ds_kw = exp.dataset_kwargs()
     train_ds = SyntheticTrainDataset(
         exp.feature_folder, "train", versions=range(n_train_versions),
         rng=np.random.RandomState(exp.seed), **ds_kw)

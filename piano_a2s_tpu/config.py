@@ -155,6 +155,22 @@ class ExperimentConfig:
         out.extras = extras
         return out
 
+    @property
+    def max_samples(self) -> int:
+        """Samples per clip for raw-audio features: the audio that VQT
+        turns into exactly max_frame_num frames (one source of truth for
+        the CLIs and datasets; depends on the configured hop_length)."""
+        return (self.max_frame_num - 1) * self.hop_length
+
+    def dataset_kwargs(self) -> Dict[str, Any]:
+        """Dataset-construction kwargs shared by the CLIs (pretrain /
+        finetune): shape caps + the configured feature mode."""
+        return dict(
+            max_frame_num=self.max_frame_num, max_length=self.max_length,
+            input_features=self.extras.get("input_features",
+                                           "spectrogram"),
+            max_samples=self.max_samples)
+
     def model_config(self):
         from .models import ModelConfig
         return ModelConfig(

@@ -267,8 +267,12 @@ class ProcessASAP:
         return True
 
     def prepare_spectrograms(self) -> int:
+        """WAV -> log-VQT spectrogram/ .npy; also emits audio/ .npy
+        (model-rate int16 PCM) so the `input_features: audio`
+        (on-device-VQT) finetuning mode has its layout without a
+        separate pass."""
         from ..ops.vqt import VQTConfig, get_vqt_host
-        from ..utils.audio import read_wav, resample
+        from ..utils.audio import read_wav, resample, to_pcm16
         cfg = VQTConfig(sample_rate=self.sample_rate)
         n = 0
         for split in ("train", "test"):
@@ -277,18 +281,25 @@ class ProcessASAP:
             if not os.path.isdir(target_dir):
                 continue
             spec_dir = os.path.join(folder, "spectrogram")
+            audio_dir = os.path.join(folder, "audio")
             os.makedirs(spec_dir, exist_ok=True)
+            os.makedirs(audio_dir, exist_ok=True)
             for target_file in sorted(os.listdir(target_dir)):
                 name = target_file[:-4]
                 wav_path = os.path.join(folder, "wav", f"{name}.wav")
                 spec_path = os.path.join(spec_dir, f"{name}.npy")
-                if os.path.exists(spec_path) or \
+                audio_path = os.path.join(audio_dir, f"{name}.npy")
+                if (os.path.exists(spec_path)
+                        and os.path.exists(audio_path)) or \
                         not os.path.exists(wav_path):
                     continue
                 data, sr = read_wav(wav_path)
                 if len(data) / sr > self.max_duration:
                     continue
                 data = resample(data, sr, self.sample_rate)
-                np.save(spec_path, get_vqt_host(data, cfg))
-                n += 1
+                if not os.path.exists(audio_path):
+                    np.save(audio_path, to_pcm16(data))
+                if not os.path.exists(spec_path):
+                    np.save(spec_path, get_vqt_host(data, cfg))
+                    n += 1
         return n

@@ -57,18 +57,37 @@ def _load_pkl(path: str):
         return pickle.load(f)
 
 
+def _list_feature_names(folder: str, feature_key: str) -> List[str]:
+    """Song names under {folder} (a .../{feature_key} dir), with a
+    diagnosis instead of a bare FileNotFoundError when the layout lacks
+    the configured feature mode."""
+    if not os.path.isdir(folder):
+        hint = ("input_features='audio' reads {split}/.../audio/*.npy "
+                "(model-rate PCM). data/synth.py and the prepare_data "
+                "spectrogram stages write it; feature folders prepared "
+                "before the audio mode existed only have spectrogram/ — "
+                "re-run the spectrogram stage to backfill audio/."
+                if feature_key == "audio" else
+                "run prepare_data (or data/synth.py) to build features.")
+        raise FileNotFoundError(f"{folder}: missing — {hint}")
+    return sorted(s[:-4] for s in os.listdir(folder))
+
+
 class _DatasetBase:
     def __init__(self, feature_folder: str, split: str,
                  max_frame_num: int = 1201,
                  max_length=(398, 189),
                  input_features: str = "spectrogram",
-                 max_samples: Optional[int] = None):
+                 max_samples: Optional[int] = None,
+                 hop_length: int = 160):
         """input_features="audio" reads raw clips ({...}/audio/{name}.npy,
         float32 in [-1,1] or int16 PCM at the model sample rate — the
-        layout data/synth.py writes) instead of precomputed spectrograms;
-        the train/eval steps then run the log-VQT frontend on device
-        (train/step.make_audio_frontend). max_samples defaults to
-        (max_frame_num-1) * the 160-sample hop (= 12 s at 16 kHz)."""
+        layout data/synth.py and prepare_data's ASAP pass write) instead
+        of precomputed spectrograms; the train/eval steps then run the
+        log-VQT frontend on device (train/step.make_audio_frontend).
+        max_samples defaults to (max_frame_num-1)*hop_length; pass
+        max_samples (ExperimentConfig.max_samples is the CLI source of
+        truth) or hop_length when the VQT hop is non-default."""
         if input_features not in ("spectrogram", "audio"):
             raise ValueError(f"input_features={input_features!r}: "
                              f"'spectrogram' or 'audio'")
@@ -77,7 +96,7 @@ class _DatasetBase:
         self.feature_key = input_features
         self.max_frame_num = max_frame_num
         self.max_samples = (max_samples if max_samples is not None
-                            else (max_frame_num - 1) * 160)
+                            else (max_frame_num - 1) * hop_length)
         self.max_length = tuple(max_length)
         self.time_sig_list = load_time_signatures()
         self.time_sig_dict = {t: i for i, t in enumerate(self.time_sig_list)}
@@ -182,7 +201,7 @@ class SyntheticTrainDataset(_DatasetBase):
         for v in self.versions:
             folder = os.path.join(feature_folder, split, str(v),
                                   self.feature_key)
-            songs = sorted(s[:-4] for s in os.listdir(folder))
+            songs = _list_feature_names(folder, self.feature_key)
             self.song_list[v] = songs
             self.lengths[v] = len(songs)
 
@@ -212,8 +231,8 @@ class SyntheticTestDataset(_DatasetBase):
         for v in versions:
             folder = os.path.join(feature_folder, split, str(v),
                                   self.feature_key)
-            for song in sorted(os.listdir(folder)):
-                self.items.append((song[:-4], v))
+            for song in _list_feature_names(folder, self.feature_key):
+                self.items.append((song, v))
 
     def __len__(self) -> int:
         return len(self.items)
@@ -234,7 +253,7 @@ class ASAPDataset(_DatasetBase):
     def __init__(self, feature_folder: str, split: str, **kw):
         super().__init__(feature_folder, split, **kw)
         folder = os.path.join(feature_folder, split, self.feature_key)
-        self.songs = sorted(s[:-4] for s in os.listdir(folder))
+        self.songs = _list_feature_names(folder, self.feature_key)
 
     def __len__(self) -> int:
         return len(self.songs)

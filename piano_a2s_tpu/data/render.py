@@ -598,9 +598,11 @@ def render_all_midi(versions: Sequence[int], feature_folder: str,
 def prepare_spectrograms(versions: Sequence[int], feature_folder: str,
                          sample_rate: int = 16000,
                          max_duration: float = 12.0) -> int:
-    """WAV -> log-VQT .npy (reference: render.py:491-512), using our VQT."""
+    """WAV -> log-VQT .npy (reference: render.py:491-512), using our VQT.
+    Also emits audio/ .npy (model-rate int16 PCM) — the layout the
+    `input_features: audio` (on-device-VQT) training mode reads."""
     from ..ops.vqt import VQTConfig, get_vqt_host
-    from ..utils.audio import read_wav, resample
+    from ..utils.audio import read_wav, resample, to_pcm16
     cfg = VQTConfig(sample_rate=sample_rate)
     n = 0
     for split in ("train", "valid", "test"):
@@ -610,15 +612,21 @@ def prepare_spectrograms(versions: Sequence[int], feature_folder: str,
             if not os.path.isdir(wav_dir):
                 continue
             spec_dir = os.path.join(folder, "spectrogram")
+            audio_dir = os.path.join(folder, "audio")
             _mkdirs(spec_dir)
+            _mkdirs(audio_dir)
             for wav_file in sorted(os.listdir(wav_dir)):
                 spec_path = os.path.join(spec_dir, wav_file[:-4] + ".npy")
-                if os.path.exists(spec_path):
+                audio_path = os.path.join(audio_dir, wav_file[:-4] + ".npy")
+                if os.path.exists(spec_path) and os.path.exists(audio_path):
                     continue
                 data, sr = read_wav(os.path.join(wav_dir, wav_file))
                 if len(data) / sr > max_duration:
                     continue
                 data = resample(data, sr, sample_rate)
-                np.save(spec_path, get_vqt_host(data, cfg))
-                n += 1
+                if not os.path.exists(audio_path):
+                    np.save(audio_path, to_pcm16(data))
+                if not os.path.exists(spec_path):
+                    np.save(spec_path, get_vqt_host(data, cfg))
+                    n += 1
     return n

@@ -42,10 +42,13 @@ class Transcriber:
 
         decode_chunk (default "auto"): decode the batch in chunks whose
         attention operands stay VMEM-resident across the sequential
-        decode steps — ~2x full-length f32 decode at batch 64, exact
-        per-clip math (models.forward). Disabled under use_mesh (the
-        chunk reshape would cross batch-shard boundaries); pass None to
-        disable explicitly."""
+        decode steps — ~2x full-length f32 decode at batch 64.
+        Token-identical on trained (EOS-confident) models; on weak
+        models the decoder's batch-coupled early-exit bookkeeping makes
+        chunked output differ from unchunked in the same way batch
+        composition itself does (see models.forward). Disabled under
+        use_mesh (the chunk reshape would cross batch-shard
+        boundaries); pass None to disable explicitly."""
         self.cfg = cfg
         self.vqt_cfg = vqt_cfg
         self.max_frame_num = max_frame_num

@@ -711,14 +711,20 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
 
     decode_chunk (int or "auto"; inference only): run the decoder over
     batch chunks of this size via lax.map while conv/encoder stay
-    full-batch. Each clip decodes independently, so this is exact
-    per-clip math — but it keeps each chunk's decode-loop invariants
-    small enough for XLA to hold in VMEM across the ~2000 sequential
-    steps instead of re-streaming ~330 MB/step from HBM (measured at
-    B=64 f32: 602 -> 310 ms full-length; token-exact on EOS-terminating
-    models and neutral when early exit engages; docs/DESIGN.md §2).
-    Ignored when the batch is already <= chunk. Do not combine with a
-    batch-sharded mesh (the chunk reshape would cross shard boundaries).
+    full-batch. This keeps each chunk's decode-loop invariants small
+    enough for XLA to hold in VMEM across the ~2000 sequential steps
+    instead of re-streaming ~330 MB/step from HBM (measured at B=64
+    f32: 602 -> 310 ms full-length; docs/DESIGN.md §2). Semantics: the
+    per-step math is per-clip, but the decoder's early-exit/length
+    bookkeeping is batch-coupled (a staff steps until EVERY item in the
+    loop emitted EOS, and lengths record the LAST EOS — the reference's
+    own semantics, models.py:411-419), so chunking changes the coupling
+    groups. On EOS-confident (trained) models results are
+    token-identical (tests/test_decode_chunk.py); on weak/untrained
+    models outputs can differ from unchunked — the same class of
+    variation as changing the batch composition itself. Ignored when
+    the batch is already <= chunk. Do not combine with a batch-sharded
+    mesh (the chunk reshape would cross shard boundaries).
     """
     k_conv, k_dec = jax.random.split(rng)
     conv_x = spectrogram

@@ -243,7 +243,9 @@ def eval_step(params, state, batch, cfg: ModelConfig,
     (reference: pretrain.py:131-136 — eval loss is computed on the
     free-running decode). Returns (StepOutput, predictions dict).
     decode_chunk: see models.forward — VMEM-resident chunked decode for
-    large eval batches (exact per-clip math)."""
+    large eval batches. Off by default: the decode's early-exit/length
+    bookkeeping is batch-coupled, so chunking changes weak-model eval
+    outputs vs the reference-parity full-batch behavior."""
     batch = prep(batch)
     outs, _ = forward(params, state, batch["spectrogram"],
                       jax.random.PRNGKey(0), cfg=cfg, train=False,
@@ -277,11 +279,13 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     from_audio=True makes both steps take "audio" batches and run the
     log-VQT frontend on device (make_audio_frontend).
 
-    The eval step uses the VMEM-resident chunked decode ("auto") on
-    single-device runs — exact per-clip math, ~2x full-length free
-    decode at batch >=32 (models.pick_decode_chunk). Sharded (mesh)
-    eval stays unchunked: the chunk reshape would cross batch-shard
-    boundaries.
+    The eval step stays UNCHUNKED by default (decode_chunk=None): the
+    decoder's early-exit/length bookkeeping is batch-coupled (exactly
+    like the reference's, models.py:411-419), so chunking a weak
+    mid-training model's eval batch would change WER and the
+    keep-best/NewBob decisions relative to the reference-parity
+    behavior at the same batch size. Serving (infer.Transcriber), where
+    models are trained and EOS-confident, chunks by default instead.
     """
     prep = (make_audio_frontend(vqt_cfg, max_frame_num) if from_audio
             else _promote_staged)
@@ -292,8 +296,7 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     else:
         t_step = partial(train_step, optimizer=optimizer, cfg=cfg,
                          conv_dtype=conv_dtype, prep=prep)
-    e_step = partial(eval_step, cfg=cfg, prep=prep,
-                     decode_chunk=None if mesh is not None else "auto")
+    e_step = partial(eval_step, cfg=cfg, prep=prep)
     if mesh is None:
         return (jax.jit(t_step, donate_argnums=(0, 1, 2)),
                 jax.jit(e_step))

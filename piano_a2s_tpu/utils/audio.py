@@ -92,6 +92,13 @@ def write_wav(path: str, data: np.ndarray, sr: int) -> None:
         w.writeframes((data * 32767.0).astype("<i2").tobytes())
 
 
+def to_pcm16(data: np.ndarray) -> np.ndarray:
+    """float [-1,1] -> int16 PCM with the round-trip scale the device
+    conversion undoes exactly (audio/ feature files, serving ingest)."""
+    return np.clip(np.round(np.asarray(data, np.float32) * PCM16_SCALE),
+                   -32768, 32767).astype(np.int16)
+
+
 def resample(data: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     if sr_in == sr_out:
         return data

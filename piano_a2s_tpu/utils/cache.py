@@ -14,12 +14,14 @@ from __future__ import annotations
 import os
 
 def _default_dir() -> str:
-    """Repo-root `.jax_cache` for in-tree checkouts (the directory holding
-    the package also holds `native/`); `~/.cache` for installed copies,
-    where the package's grandparent is site-packages."""
+    """Repo-root `.jax_cache` for in-tree checkouts; `~/.cache` for
+    installed copies (where the package's grandparent is site-packages).
+    The in-tree sentinel is this repo's own native source file — a
+    generic marker like a `native/` directory could collide with an
+    unrelated top-level package in site-packages."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    if os.path.isdir(os.path.join(root, "native")):
+    if os.path.isfile(os.path.join(root, "native", "kern_tools.cpp")):
         return os.path.join(root, ".jax_cache")
     return os.path.join(os.path.expanduser("~"), ".cache",
                         "piano_a2s_tpu", "jax_cache")

@@ -71,12 +71,24 @@ def test_process_chunk_builds_target_and_wav(tmp_path):
     data, rate = read_wav(wav_path)
     assert rate == sr and 4 * sr <= len(data) <= 12 * sr
 
-    # spectrogram generation picks up the wav
+    # spectrogram generation picks up the wav, and also emits the
+    # model-rate int16 audio/ layout the on-device-VQT finetune mode
+    # (input_features: audio) reads
     n = proc.prepare_spectrograms()
     assert n == 1
     spec = np.load(os.path.join(split_dir, "spectrogram",
                                 "composer#piece#perf1.0.npy"))
     assert spec.shape[1] == 480
+    pcm = np.load(os.path.join(split_dir, "audio",
+                               "composer#piece#perf1.0.npy"))
+    assert pcm.dtype == np.int16 and len(pcm) == len(data)
+    np.testing.assert_allclose(pcm / 32768.0, np.clip(data, -1, 1),
+                               atol=1.0 / 32768.0)
+    # and the ASAPDataset audio mode can now read the layout
+    from piano_a2s_tpu.data import ASAPDataset
+    item = ASAPDataset(proc.feature_folder, "train",
+                       input_features="audio")[0]
+    assert item["audio"].dtype == np.int16
 
 
 def test_process_chunk_rejects_short_audio(tmp_path):

@@ -190,6 +190,15 @@ def test_dataset_audio_mode(tmp_path):
         SyntheticTrainDataset(root, "train", versions=[0],
                               input_features="video")
 
+    # spectrogram-only layouts get a diagnosis, not a bare listdir error
+    spec_root = str(tmp_path / "spec_only")
+    base = os.path.join(spec_root, "train", "0")
+    for sub in ("spectrogram", "target"):
+        os.makedirs(os.path.join(base, sub))
+    with pytest.raises(FileNotFoundError, match="audio mode|audio/"):
+        SyntheticTrainDataset(spec_root, "train", versions=[0],
+                              input_features="audio")
+
 
 def test_harness_audio_mode_end_to_end(tmp_path):
     """Trainer.fit + evaluate with extras input_features=audio: int16

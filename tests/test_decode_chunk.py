@@ -124,16 +124,18 @@ def test_transcriber_chunked_serving():
         assert a == b
 
 
-def test_eval_step_auto_chunk_runs():
-    """make_jitted_steps threads decode_chunk='auto' into the eval step
-    (inert at batch <= 16, engaged above; here just proves the wiring
-    compiles and runs on a batch above the tiny auto threshold path)."""
-    from piano_a2s_tpu.train.step import make_jitted_steps, make_optimizer
+def test_eval_step_chunk_opt_in():
+    """eval_step accepts decode_chunk explicitly (the harness default
+    stays UNCHUNKED for reference-parity batch-coupled early-exit; see
+    make_jitted_steps docstring)."""
+    from functools import partial
+
+    from piano_a2s_tpu.train.step import eval_step, make_optimizer
 
     params = init_params(jax.random.PRNGKey(0), CFG)
     state = init_state(CFG)
-    opt = make_optimizer(lr=1.0)
-    _, e_step = make_jitted_steps(opt, CFG)
+    make_optimizer(lr=1.0)
+    e_step = jax.jit(partial(eval_step, cfg=CFG, decode_chunk=9))
     rng = np.random.RandomState(0)
     b = 18  # not divisible by 16 -> falls back to the largest divisor (9)
     batch = {
@@ -148,3 +150,15 @@ def test_eval_step_auto_chunk_runs():
     out, preds = e_step(params, state, batch)
     assert np.isfinite(float(out.loss))
     assert preds["upper_tokens"].shape[0] == b
+
+    # the harness-facing default stays unchunked (reference parity):
+    # make_jitted_steps' eval == an explicit decode_chunk=None eval,
+    # bitwise, even on this weak (batch-coupled-exit) model.
+    from piano_a2s_tpu.train.step import make_jitted_steps
+    _, e_default = make_jitted_steps(make_optimizer(lr=1.0), CFG)
+    out_d, preds_d = e_default(params, state, batch)
+    e_none = jax.jit(partial(eval_step, cfg=CFG, decode_chunk=None))
+    out_n, preds_n = e_none(params, state, batch)
+    assert float(out_d.loss) == float(out_n.loss)
+    np.testing.assert_array_equal(np.asarray(preds_d["upper_tokens"]),
+                                  np.asarray(preds_n["upper_tokens"]))
