@@ -31,8 +31,9 @@ def int16_to_float32(x: np.ndarray) -> np.ndarray:
     return (x / 32767.0).astype(np.float32)
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (mono float32 in [-1, 1], sample_rate)."""
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Read a WAV file (path or binary file-like, e.g. a BytesIO over an
+    HTTP body) -> (mono float32 in [-1, 1], sample_rate)."""
     with wave.open(path, "rb") as w:
         n_ch = w.getnchannels()
         width = w.getsampwidth()
