@@ -46,9 +46,10 @@ class Transcriber:
         Token-identical on trained (EOS-confident) models; on weak
         models the decoder's batch-coupled early-exit bookkeeping makes
         chunked output differ from unchunked in the same way batch
-        composition itself does (see models.forward). Disabled under
-        use_mesh (the chunk reshape would cross batch-shard
-        boundaries); pass None to disable explicitly."""
+        composition itself does (see models.forward). Under use_mesh
+        the forward runs per-device via shard_map and the chunk is
+        picked against each device's LOCAL shard. Pass None to disable
+        explicitly."""
         self.cfg = cfg
         self.vqt_cfg = vqt_cfg
         self.max_frame_num = max_frame_num
@@ -64,7 +65,6 @@ class Transcriber:
             self._batch_sharding = shard_batch(self.mesh)
         self.params = params
         self.state = state
-        decode_chunk = None if use_mesh else decode_chunk
 
         def infer(params, state, spec_batch):
             (ts, key, up, low, aux), _ = forward(
@@ -75,7 +75,24 @@ class Transcriber:
                     aux["upper_tokens"], aux["lower_tokens"],
                     aux["upper_lengths"], aux["lower_lengths"])
 
-        self._infer = jax.jit(infer)
+        if self.mesh is not None:
+            # Multi-device serving: shard_map the WHOLE forward — every
+            # clip's math is device-local (eval-mode BN reads running
+            # stats; attention/decode are per-clip), so each device runs
+            # the full per-shard program with no collectives, and the
+            # chunked decode picks its chunk against the LOCAL shard
+            # (the reason a plain jit couldn't chunk: the global chunk
+            # reshape would cross shard boundaries).
+            from jax.sharding import PartitionSpec as P
+
+            def wrap(f):
+                return jax.jit(jax.shard_map(
+                    f, mesh=self.mesh,
+                    in_specs=(P(), P(), P("data")), out_specs=P("data"),
+                    check_vma=False))
+        else:
+            wrap = jax.jit
+        self._infer = wrap(infer)
 
         def infer_audio(params, state, audio_batch):
             # Fused frontend+model: the VQT rides in the same XLA program
@@ -96,7 +113,7 @@ class Transcriber:
                                       (0, 0)))
             return infer(params, state, spec[:, None, :, :])
 
-        self._infer_audio = jax.jit(infer_audio)
+        self._infer_audio = wrap(infer_audio)
 
     # -- frontend -----------------------------------------------------------
 

@@ -724,7 +724,9 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
     models outputs can differ from unchunked — the same class of
     variation as changing the batch composition itself. Ignored when
     the batch is already <= chunk. Do not combine with a batch-sharded
-    mesh (the chunk reshape would cross shard boundaries).
+    mesh under plain jit (the chunk reshape would cross shard
+    boundaries) — wrap the forward in shard_map so the chunk applies to
+    each device's local shard instead (infer.Transcriber does).
     """
     k_conv, k_dec = jax.random.split(rng)
     conv_x = spectrogram

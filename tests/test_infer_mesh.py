@@ -42,3 +42,24 @@ def test_mesh_transcriber_matches_single_device():
     import pytest
     with pytest.raises(ValueError):
         meshy.transcribe_stream(clips, batch_size=3)
+
+
+def test_mesh_chunked_decode_matches_unchunked():
+    """The shard_map'd mesh forward composes with the chunked decode:
+    each device chunk-picks against its LOCAL shard (batch 16 over 8
+    devices -> local batch 2, chunked at 1 here), and results equal the
+    mesh run with chunking disabled on this EOS-confident model."""
+    params = init_params(jax.random.PRNGKey(1), CFG)
+    for d in ("upper", "lower"):
+        b = np.array(params["decoder"][d]["out"]["b"])
+        b[CFG.eos] += 5.0
+        params["decoder"][d]["out"]["b"] = jnp.asarray(b)
+    state = init_state(CFG)
+    kw = dict(cfg=CFG, vqt_cfg=VQT, max_frame_num=101, use_mesh=True)
+    chunked = Transcriber(params, state, decode_chunk=1, **kw)
+    plain = Transcriber(params, state, decode_chunk=None, **kw)
+    rng = np.random.RandomState(1)
+    clips = [0.1 * rng.randn(12000).astype(np.float32) for _ in range(16)]
+    a = chunked.transcribe_batch(clips)
+    b = plain.transcribe_batch(clips)
+    assert a == b
