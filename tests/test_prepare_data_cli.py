@@ -105,12 +105,16 @@ def test_syn_full_chain(syn_corpus):
     assert len(wavs) == len(midis)
     assert all("~" in w and w.endswith(".wav") for w in wavs)
 
-    # spectrograms: a log-VQT .npy per wav with the full 480-bin layout.
+    # spectrograms: a log-VQT .npy per wav with the full 480-bin layout,
+    # plus the model-rate int16 audio/ twin for input_features: audio.
     specs = sorted(os.listdir(train0 / "spectrogram"))
     assert len(specs) == len(wavs)
     spec = np.load(train0 / "spectrogram" / specs[0])
     assert spec.ndim == 2 and spec.shape[1] == 480
     assert np.isfinite(spec).all()
+    audios = sorted(os.listdir(train0 / "audio"))
+    assert audios == specs
+    assert np.load(train0 / "audio" / audios[0]).dtype == np.int16
 
     # Target payload decodes: 5 measures of (key, time, lower, upper).
     with open(train0 / "target" / targets[0], "rb") as f:
