@@ -68,9 +68,8 @@ def main(argv=None):
             print(f"MV2H tool not found (mv2h_bin={exp.mv2h_bin!r}): "
                   "skipping MV2H (WER/F1 only)")
         if args.muster:
-            import shutil as _shutil
             if not (os.path.exists(args.muster_script)
-                    or _shutil.which(args.muster_script)):
+                    or shutil.which(args.muster_script)):
                 print(f"MUSTER tool not found "
                       f"(--muster-script={args.muster_script!r}): "
                       "skipping MUSTER")

@@ -153,16 +153,11 @@ class _DatasetBase:
                 "lower": lower, "lower_lengths": lower_len}
 
     def pad_audio(self, audio: np.ndarray) -> np.ndarray:
-        """Trim/zero-pad a mono clip to max_samples, preserving int16
-        (half the upload bytes, converted on device — the serving
-        contract, infer.Transcriber._prep_audio)."""
-        audio = np.asarray(audio)
-        if audio.dtype != np.int16:
-            audio = audio.astype(np.float32)
-        audio = audio[: self.max_samples]
-        if len(audio) < self.max_samples:
-            audio = np.pad(audio, (0, self.max_samples - len(audio)))
-        return audio
+        """Trim/zero-pad a mono clip to max_samples — the same contract
+        serving ingest uses (utils.audio.trim_pad_audio: int16 preserved
+        for half-byte uploads, converted on device)."""
+        from ..utils.audio import trim_pad_audio
+        return trim_pad_audio(audio, self.max_samples)
 
     def load_spectrogram(self, locator) -> np.ndarray:
         feature_folder, spectrogram_name, _ = locator
@@ -267,13 +262,21 @@ class ASAPDataset(_DatasetBase):
 
 
 def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
-    """Stack items into a device-ready batch dict (+ host-side names)."""
+    """Stack items into a device-ready batch dict (+ host-side names).
+    Audio stacks via stack_audio_batch: a corpus mixing int16 and f32
+    audio/ files (e.g. synth.py f32 versions next to prepare_data's
+    int16 backfill) would otherwise put raw int16 VALUES into a float
+    batch — wrong by 32768x and silent."""
+    from ..utils.audio import stack_audio_batch
+
     batch = {}
     for k in ("spectrogram", "audio", "time_sig", "key", "upper",
               "upper_lengths", "lower", "lower_lengths"):
         if k not in items[0]:
             continue
-        batch[k] = np.stack([it[k] for it in items])
+        batch[k] = (stack_audio_batch([it[k] for it in items])
+                    if k == "audio"
+                    else np.stack([it[k] for it in items]))
     batch["names"] = [it["name"] for it in items]
     batch["versions"] = [it["version"] for it in items]
     return batch
@@ -365,7 +368,12 @@ class DataLoader:
         batch = {k: np.stack([t[k] for t in targets])
                  for k in ("time_sig", "key", "upper", "upper_lengths",
                            "lower", "lower_lengths")}
-        batch[feature_key] = np.stack(specs)
+        if feature_key == "audio":
+            # mixed int16/f32 clips normalize to f32 (see collate)
+            from ..utils.audio import stack_audio_batch
+            batch[feature_key] = stack_audio_batch(specs)
+        else:
+            batch[feature_key] = np.stack(specs)
         batch["names"] = [loc[1] for loc in locators]
         batch["versions"] = [loc[2] for loc in locators]
         batch["n_real"] = n_real

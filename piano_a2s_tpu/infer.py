@@ -124,22 +124,17 @@ class Transcriber:
     def _prep_audio(self, audio: np.ndarray) -> np.ndarray:
         """Mono audio -> fixed-length (max_samples,) float32 — or int16,
         preserved so the stream path uploads half the bytes and converts
-        on device (see infer_audio)."""
-        audio = np.asarray(audio)
-        if audio.dtype != np.int16:
-            audio = audio.astype(np.float32)
-        audio = audio[: self.max_samples]
-        if len(audio) < self.max_samples:
-            audio = np.pad(audio, (0, self.max_samples - len(audio)))
-        return audio
+        on device (see infer_audio). Shared contract with the dataset
+        audio mode (utils.audio.trim_pad_audio)."""
+        from .utils.audio import trim_pad_audio
+        return trim_pad_audio(audio, self.max_samples)
 
     @staticmethod
     def _to_float(audio: np.ndarray) -> np.ndarray:
         """int16 PCM -> float32 with read_wav's exact scale; float passes
-        through."""
-        if audio.dtype == np.int16:
-            return audio.astype(np.float32) / PCM16_SCALE
-        return audio
+        through (utils.audio.pcm16_to_float)."""
+        from .utils.audio import pcm16_to_float
+        return pcm16_to_float(audio)
 
     def spectrogram(self, audio: np.ndarray) -> np.ndarray:
         """12 s-max mono audio @ model sample rate -> (1, T, bins)."""
@@ -161,8 +156,11 @@ class Transcriber:
         n = len(audio_batch)
         padded = max(1, 1 << (n - 1).bit_length())
         if self.mesh is not None:
+            # The batch must DIVIDE by the mesh (shard_map hard-errors
+            # otherwise) — round up to a multiple of the device count,
+            # which also covers non-power-of-two meshes (e.g. 6 devices).
             n_dev = self.mesh.devices.size
-            padded = max(padded, n_dev)  # batch must divide the mesh
+            padded = -(-max(padded, n_dev) // n_dev) * n_dev
         if padded != n:
             specs = np.concatenate(
                 [specs, np.repeat(specs[-1:], padded - n, axis=0)])

@@ -74,23 +74,29 @@ class TranscriptionService:
         return item["result"]
 
     def _take_batch(self) -> List[dict]:
-        self._wakeup.wait()
-        deadline = None  # set when the first request of the batch is seen
         while True:
+            self._wakeup.wait()
             with self._lock:
                 if self._closed and not self._queue:
                     return []
-                if self._queue and deadline is None:
-                    deadline = time.monotonic() + self.max_wait
-                if len(self._queue) >= self.max_batch or (
-                        self._queue and (self._closed
-                                         or time.monotonic() >= deadline)):
-                    batch = self._queue[: self.max_batch]
-                    del self._queue[: len(batch)]
-                    if not self._queue:
-                        self._wakeup.clear()
-                    return batch
-            time.sleep(min(0.002, self.max_wait or 0.002))
+                if not self._queue:
+                    # Stale wakeup (submit set the event after the worker
+                    # already drained that request into the previous
+                    # batch): clear and BLOCK again — without this an
+                    # idle server would spin in the poll loop below.
+                    self._wakeup.clear()
+                    continue
+            deadline = time.monotonic() + self.max_wait
+            while True:
+                with self._lock:
+                    if len(self._queue) >= self.max_batch or self._closed \
+                            or time.monotonic() >= deadline:
+                        batch = self._queue[: self.max_batch]
+                        del self._queue[: len(batch)]
+                        if not self._queue:
+                            self._wakeup.clear()
+                        return batch
+                time.sleep(min(0.002, self.max_wait or 0.002))
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -317,9 +323,19 @@ def main(argv=None):
     else:
         tr = load_transcriber(args.checkpoint, decode_dtype=decode_dtype)
 
-    # Warm the compile before accepting traffic (first compile through
-    # the TPU tunnel can take tens of seconds).
-    tr.transcribe_batch([np.zeros(tr.vqt_cfg.sample_rate, np.float32)])
+    # Warm EVERY padded batch size before accepting traffic:
+    # transcribe_batch pads to powers of two, so a cold server would
+    # otherwise compile each new size on live traffic (tens of seconds
+    # to minutes through the TPU tunnel — requests would 500 on the
+    # submit timeout). The persistent compile cache makes repeat
+    # startups fast.
+    clip = np.zeros(tr.vqt_cfg.sample_rate, np.float32)
+    top = 1 << (max(1, args.max_batch) - 1).bit_length()
+    b = 1
+    while b <= top:
+        print(f"warming batch size {b} ...", flush=True)
+        tr.transcribe_batch([clip] * b)
+        b *= 2
 
     httpd = make_server(tr, args.host, args.port,
                         max_batch=args.max_batch,

@@ -46,10 +46,8 @@ def _stage_cast(dtype, key: str = "spectrogram"):
             a = np.round(np.clip(a, 0.0, 1.0) * 255.0).astype(np.uint8)
         elif dtype == np.int16:
             if a.dtype != np.int16:
-                from ..utils.audio import PCM16_SCALE
-                a = np.clip(np.round(np.asarray(a, np.float32)
-                                     * PCM16_SCALE),
-                            -32768, 32767).astype(np.int16)
+                from ..utils.audio import to_pcm16
+                a = to_pcm16(a)
         else:
             a = np.asarray(a, dtype)
         batch[key] = a

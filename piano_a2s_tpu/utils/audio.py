@@ -100,6 +100,39 @@ def to_pcm16(data: np.ndarray) -> np.ndarray:
                    -32768, 32767).astype(np.int16)
 
 
+def pcm16_to_float(data: np.ndarray) -> np.ndarray:
+    """int16 PCM -> float32 with read_wav's exact scale; float passes
+    through as float32. The ONE host-side inverse of to_pcm16."""
+    data = np.asarray(data)
+    if data.dtype == np.int16:
+        return data.astype(np.float32) / PCM16_SCALE
+    return data.astype(np.float32)
+
+
+def trim_pad_audio(audio: np.ndarray, max_samples: int) -> np.ndarray:
+    """Trim/zero-pad a mono clip to exactly max_samples, preserving int16
+    (half the upload bytes — converted on device) and normalizing other
+    dtypes to float32. Shared by the dataset audio mode and the serving
+    ingest so both honor the same fixed-length + dtype contract."""
+    audio = np.asarray(audio)
+    if audio.dtype != np.int16:
+        audio = audio.astype(np.float32)
+    audio = audio[:max_samples]
+    if len(audio) < max_samples:
+        audio = np.pad(audio, (0, max_samples - len(audio)))
+    return audio
+
+
+def stack_audio_batch(clips) -> np.ndarray:
+    """Stack same-length mono clips into a batch. Mixed int16/float
+    inputs are normalized to float32 FIRST — a bare np.stack would
+    promote raw int16 VALUES into the float batch (wrong by 32768x,
+    and silent)."""
+    if any(c.dtype != clips[0].dtype for c in clips):
+        clips = [pcm16_to_float(c) for c in clips]
+    return np.stack(clips)
+
+
 def resample(data: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     if sr_in == sr_out:
         return data

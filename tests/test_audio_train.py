@@ -200,6 +200,26 @@ def test_dataset_audio_mode(tmp_path):
                               input_features="audio")
 
 
+def test_collate_mixed_dtype_audio_normalizes():
+    """A batch mixing int16 and f32 audio rows (e.g. a corpus whose
+    versions were written by synth.py [f32] and the prepare_data int16
+    backfill) must NOT np.stack raw int16 VALUES into a float batch
+    (wrong by 32768x): mixed batches normalize to f32 via the PCM16
+    scale; uniform batches keep their dtype."""
+    from piano_a2s_tpu.data.datasets import collate
+
+    i16 = {"audio": np.full(64, 16384, np.int16), "name": "a",
+           "version": 0}
+    f32 = {"audio": np.full(64, 0.25, np.float32), "name": "b",
+           "version": 1}
+    mixed = collate([i16, f32])
+    assert mixed["audio"].dtype == np.float32
+    np.testing.assert_allclose(mixed["audio"][0], 0.5)   # 16384/32768
+    np.testing.assert_allclose(mixed["audio"][1], 0.25)
+    assert collate([i16, dict(i16, name="c")])["audio"].dtype == np.int16
+    assert collate([f32, f32])["audio"].dtype == np.float32
+
+
 def test_harness_audio_mode_end_to_end(tmp_path):
     """Trainer.fit + evaluate with extras input_features=audio: int16
     staging installed in the loader, finite losses, learning happens."""
