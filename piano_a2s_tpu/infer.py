@@ -150,9 +150,18 @@ class Transcriber:
                          ) -> List[List[list]]:
         """List of mono clips -> list of per-clip target structures.
 
+        One fused VQT+model device call for the whole batch (the same
+        program the stream uses; clips upload as audio — int16 preserved
+        — and the frontend runs on device). The pre-round-3 version
+        computed spectrograms host-side one clip at a time: a device
+        round-trip PER CLIP (~50-70 ms each under the tunnel) that
+        capped the HTTP server's dynamic batches at ~6 clips/s.
+
         Batches are padded to the next power of two so repeated calls with
         varying batch sizes reuse a handful of compiled programs."""
-        specs = np.stack([self.spectrogram(a) for a in audio_batch])
+        from .utils.audio import stack_audio_batch
+        specs = stack_audio_batch([self._prep_audio(a)
+                                   for a in audio_batch])
         n = len(audio_batch)
         padded = max(1, 1 << (n - 1).bit_length())
         if self.mesh is not None:
@@ -167,7 +176,8 @@ class Transcriber:
         if self._batch_sharding is not None:
             specs = jax.device_put(specs, self._batch_sharding)
         return self._postprocess(
-            jax.device_get(self._infer(self.params, self.state, specs)),
+            jax.device_get(self._infer_audio(self.params, self.state,
+                                             specs)),
             len(audio_batch))
 
     def _postprocess(self, arrays, n: int) -> List[List[list]]:
