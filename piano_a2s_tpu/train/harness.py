@@ -146,11 +146,19 @@ class Trainer:
                 raise ValueError(
                     f"upload_dtype={choice!r}: supported values are "
                     f"'uint8', 'float16', 'float32'") from None
+        # Opt-in faster free-running validation (extras
+        # `eval_decode_chunk: auto` or an int): VMEM-resident chunked
+        # decode for eval batches above the chunk — OFF by default
+        # because the decode's batch-coupled early exit then differs
+        # from the reference's full-batch behavior (step.py docstring).
+        edc = exp.extras.get("eval_decode_chunk")
+        if edc is not None and edc != "auto":
+            edc = int(edc)
         self.train_step, self.eval_step = make_jitted_steps(
             self.optimizer, self.cfg, mesh=self.mesh,
             accum_steps=self.accum_steps, conv_dtype=self.conv_dtype,
             from_audio=self.from_audio, vqt_cfg=exp.vqt_config(),
-            max_frame_num=exp.max_frame_num)
+            max_frame_num=exp.max_frame_num, eval_decode_chunk=edc)
         # Length-bucketed train steps: the decode scan length is static, so
         # batches whose longest target is far below the 398/189 caps run a
         # shorter compiled variant (loss/gradient-exact: positions past the

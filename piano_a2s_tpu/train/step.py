@@ -268,7 +268,8 @@ def eval_step(params, state, batch, cfg: ModelConfig,
 def make_jitted_steps(optimizer: optax.GradientTransformation,
                       cfg: ModelConfig, mesh=None, accum_steps: int = 1,
                       conv_dtype=None, from_audio: bool = False,
-                      vqt_cfg=None, max_frame_num: int = 1201):
+                      vqt_cfg=None, max_frame_num: int = 1201,
+                      eval_decode_chunk=None):
     """Compile the steps. With a mesh, batches are sharded along the leading
     (batch) axis of the `data` mesh axis and params/opt/state are replicated;
     XLA inserts the gradient all-reduce (psum over ICI) automatically.
@@ -279,13 +280,18 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     from_audio=True makes both steps take "audio" batches and run the
     log-VQT frontend on device (make_audio_frontend).
 
-    The eval step stays UNCHUNKED by default (decode_chunk=None): the
-    decoder's early-exit/length bookkeeping is batch-coupled (exactly
-    like the reference's, models.py:411-419), so chunking a weak
-    mid-training model's eval batch would change WER and the
+    The eval step stays UNCHUNKED by default (eval_decode_chunk=None):
+    the decoder's early-exit/length bookkeeping is batch-coupled
+    (exactly like the reference's, models.py:411-419), so chunking a
+    weak mid-training model's eval batch would change WER and the
     keep-best/NewBob decisions relative to the reference-parity
     behavior at the same batch size. Serving (infer.Transcriber), where
     models are trained and EOS-confident, chunks by default instead.
+    Pass eval_decode_chunk="auto" (extras `eval_decode_chunk` in the
+    config) to OPT IN for faster free-running validation at eval
+    batches above 16 — accepting those altered coupling groups.
+    Ignored under a mesh (the chunk reshape would cross shard
+    boundaries; wrap in shard_map to combine, as the Transcriber does).
     """
     prep = (make_audio_frontend(vqt_cfg, max_frame_num) if from_audio
             else _promote_staged)
@@ -296,7 +302,9 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     else:
         t_step = partial(train_step, optimizer=optimizer, cfg=cfg,
                          conv_dtype=conv_dtype, prep=prep)
-    e_step = partial(eval_step, cfg=cfg, prep=prep)
+    e_step = partial(eval_step, cfg=cfg, prep=prep,
+                     decode_chunk=(None if mesh is not None
+                                   else eval_decode_chunk))
     if mesh is None:
         return (jax.jit(t_step, donate_argnums=(0, 1, 2)),
                 jax.jit(e_step))

@@ -162,3 +162,10 @@ def test_eval_step_chunk_opt_in():
     assert float(out_d.loss) == float(out_n.loss)
     np.testing.assert_array_equal(np.asarray(preds_d["upper_tokens"]),
                                   np.asarray(preds_n["upper_tokens"]))
+
+    # the opt-in (extras eval_decode_chunk) threads through and runs
+    _, e_opt = make_jitted_steps(make_optimizer(lr=1.0), CFG,
+                                 eval_decode_chunk=9)
+    out_o, preds_o = e_opt(params, state, batch)
+    assert np.isfinite(float(out_o.loss))
+    assert preds_o["upper_tokens"].shape[0] == b
