@@ -137,7 +137,11 @@ class Transcriber:
         return pcm16_to_float(audio)
 
     def spectrogram(self, audio: np.ndarray) -> np.ndarray:
-        """12 s-max mono audio @ model sample rate -> (1, T, bins)."""
+        """12 s-max mono audio @ model sample rate -> (1, T, bins).
+
+        Utility for inspecting the model's input (e.g. notebooks,
+        spectrogram caches); the inference paths no longer call it —
+        they feed raw audio to the fused VQT+model program instead."""
         spec = np.asarray(get_vqt(self._to_float(self._prep_audio(audio)),
                                   self.kernels, self.vqt_cfg))
         out = np.zeros((self.max_frame_num, spec.shape[-1]), np.float32)
