@@ -17,6 +17,15 @@ Endpoints:
        or a raw .npy mono float32/int16 array at the model sample rate.
   GET  /healthz   liveness + device/model info
   GET  /stats     request/batch counters (shows the batcher working)
+
+Design note: the worker runs ONE blocking fused-program call per dynamic
+batch rather than the multi-batch in-flight stream
+(Transcriber.transcribe_stream). Measured on the target platform the
+device is busy 87-91% of wall under full load already, and host->device
+uploads serialize with compute there (docs/DESIGN.md §2a), so deeper
+pipelining buys a few percent at the cost of request/response lifetime
+tracking across in-flight batches; batch-file jobs that want the stream
+use `transcribe.py`/`transcribe_stream` directly.
 """
 
 from __future__ import annotations
