@@ -248,13 +248,11 @@ class Transcriber:
                 n = len(buf)
                 yield buf + [buf[-1]] * (batch_size - n), n
 
+        from .utils.audio import stack_audio_batch
         for buf, n in batches():
-            if any(a.dtype != buf[0].dtype for a in buf):
-                # Mixed int16/float clips in one batch: np.stack would
-                # silently promote raw int16 VALUES to float (wrong by
-                # 32768x) — normalize to float32 host-side instead.
-                buf = [self._to_float(a) for a in buf]
-            audio = np.stack(buf)
+            # Mixed int16/float clips normalize to float32 host-side
+            # (np.stack would promote raw int16 VALUES — wrong by 32768x).
+            audio = stack_audio_batch(buf)
             if self._batch_sharding is not None:
                 audio = jax.device_put(audio, self._batch_sharding)
             inflight.append(

@@ -93,6 +93,8 @@ class TranscriptionService:
                     # already drained that request into the previous
                     # batch): clear and BLOCK again — without this an
                     # idle server would spin in the poll loop below.
+                    # (Closed-and-empty already returned above, so this
+                    # can't swallow close()'s final set().)
                     self._wakeup.clear()
                     continue
             deadline = time.monotonic() + self.max_wait
@@ -102,7 +104,11 @@ class TranscriptionService:
                             or time.monotonic() >= deadline:
                         batch = self._queue[: self.max_batch]
                         del self._queue[: len(batch)]
-                        if not self._queue:
+                        # Never clear after close(): its set() is the
+                        # FINAL signal — clearing it here would strand
+                        # the worker's next wait() forever and make
+                        # close() hang on the join.
+                        if not self._queue and not self._closed:
                             self._wakeup.clear()
                         return batch
                 time.sleep(min(0.002, self.max_wait or 0.002))
@@ -289,7 +295,6 @@ def make_server(transcriber, host: str = "127.0.0.1", port: int = 8080,
         # concurrent clients (measured: 8/256 resets at 32 clients);
         # the whole point of the dynamic batcher is riding such bursts.
         request_queue_size = 128
-        daemon_threads = True
 
     httpd = Server((host, port), Handler)
     httpd.service = service
@@ -345,13 +350,19 @@ def main(argv=None):
     # to minutes through the TPU tunnel — requests would 500 on the
     # submit timeout). The persistent compile cache makes repeat
     # startups fast.
-    clip = np.zeros(tr.vqt_cfg.sample_rate, np.float32)
+    # ... and in BOTH wire dtypes: int16 .npy/WAV bodies keep the batch
+    # int16 (half the upload bytes), which is a distinct traced program
+    # per (size, dtype) — without this the first int16 client at each
+    # size would hit a cold compile on live traffic.
     top = 1 << (max(1, args.max_batch) - 1).bit_length()
-    b = 1
-    while b <= top:
-        print(f"warming batch size {b} ...", flush=True)
-        tr.transcribe_batch([clip] * b)
-        b *= 2
+    for dt in (np.float32, np.int16):
+        clip = np.zeros(tr.vqt_cfg.sample_rate, dt)
+        b = 1
+        while b <= top:
+            print(f"warming batch size {b} ({np.dtype(dt).name}) ...",
+                  flush=True)
+            tr.transcribe_batch([clip] * b)
+            b *= 2
 
     httpd = make_server(tr, args.host, args.port,
                         max_batch=args.max_batch,

@@ -46,9 +46,12 @@ def test_mesh_transcriber_matches_single_device():
 
 def test_mesh_chunked_decode_matches_unchunked():
     """The shard_map'd mesh forward composes with the chunked decode:
-    each device chunk-picks against its LOCAL shard (batch 16 over 8
-    devices -> local batch 2, chunked at 1 here), and results equal the
-    mesh run with chunking disabled on this EOS-confident model."""
+    batch 32 over 8 devices -> local shard 4, decode_chunk=2 ACTIVATES
+    the lax.map chunk path inside the shard_map body (decode_chunk=1
+    would resolve to None — pick_decode_chunk never chunks below 2),
+    and results equal the mesh run with chunking disabled on this
+    EOS-confident model."""
+    from piano_a2s_tpu.models.score_transcription import pick_decode_chunk
     params = init_params(jax.random.PRNGKey(1), CFG)
     for d in ("upper", "lower"):
         b = np.array(params["decoder"][d]["out"]["b"])
@@ -56,10 +59,11 @@ def test_mesh_chunked_decode_matches_unchunked():
         params["decoder"][d]["out"]["b"] = jnp.asarray(b)
     state = init_state(CFG)
     kw = dict(cfg=CFG, vqt_cfg=VQT, max_frame_num=101, use_mesh=True)
-    chunked = Transcriber(params, state, decode_chunk=1, **kw)
+    assert pick_decode_chunk(2, 4) == 2  # the local-shard resolution
+    chunked = Transcriber(params, state, decode_chunk=2, **kw)
     plain = Transcriber(params, state, decode_chunk=None, **kw)
     rng = np.random.RandomState(1)
-    clips = [0.1 * rng.randn(12000).astype(np.float32) for _ in range(16)]
+    clips = [0.1 * rng.randn(12000).astype(np.float32) for _ in range(32)]
     a = chunked.transcribe_batch(clips)
     b = plain.transcribe_batch(clips)
     assert a == b

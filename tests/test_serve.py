@@ -177,3 +177,27 @@ def test_service_direct_and_close():
     svc.close()
     with pytest.raises(RuntimeError):
         svc.submit(np.zeros(1000, np.float32))
+
+
+def test_service_close_with_inflight_request():
+    """close() while a request is queued must flush it and join the
+    worker promptly (a regression here left the worker stranded in
+    wait() after the final-batch take cleared close()'s wakeup —
+    close() then hung for its full join timeout)."""
+    import time
+
+    tr = _transcriber()
+    tr.transcribe_batch([np.zeros(1000, np.float32)])  # warm compile
+    svc = TranscriptionService(tr, max_batch=4, max_wait_ms=200)
+    results = []
+    t = threading.Thread(target=lambda: results.append(
+        svc.submit(np.zeros(1000, np.float32))))
+    t.start()
+    time.sleep(0.05)  # request enqueued, batching window still open
+    t0 = time.time()
+    svc.close()
+    dt = time.time() - t0
+    t.join(timeout=30)
+    assert results and len(results[0]) == CFG.max_bars  # flushed, served
+    assert not svc._worker.is_alive()
+    assert dt < 8, f"close() took {dt:.1f}s (worker stranded?)"
