@@ -13,4 +13,4 @@ Re-implements the full capability surface of wei-zeng98/piano-a2s
 - ``parallel``: device-mesh construction and sharded train/eval steps.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
