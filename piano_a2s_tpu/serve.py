@@ -183,7 +183,10 @@ def _render(target, fmt: str):
         bars = [{"key_signature": m[0], "time_signature": m[1],
                  "lower_tokens": m[2], "upper_tokens": m[3]}
                 for m in target]
-        return "application/json", json.dumps({"bars": bars}).encode()
+        kern = {"upper": tokens_to_kern([m[3] for m in target]),
+                "lower": tokens_to_kern([m[2] for m in target])}
+        return "application/json", json.dumps(
+            {"bars": bars, "kern": kern}).encode()
     if fmt == "kern":
         text = ("!! upper staff\n" + tokens_to_kern([m[3] for m in target])
                 + "\n!! lower staff\n"
@@ -230,7 +233,13 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         path = urlparse(self.path).path
-        if path == "/healthz":
+        if path == "/":
+            self._reply_json(200, {
+                "service": "piano_a2s_tpu transcription",
+                "usage": "POST /transcribe[?format=json|kern|musicxml|"
+                         "midi] with a WAV or .npy body; "
+                         "GET /healthz, /stats"})
+        elif path == "/healthz":
             self._reply_json(200, {"status": "ok", **self.server_info})
         elif path == "/stats":
             self._reply_json(200, self.service.snapshot())

@@ -82,6 +82,7 @@ def test_transcribe_wav_json(server):
                _wav_bytes(audio, VCFG.sample_rate)) as r:
         out = json.load(r)
     assert len(out["bars"]) == CFG.max_bars
+    assert set(out["kern"]) == {"upper", "lower"}  # decoded notation
     bar = out["bars"][0]
     assert {"key_signature", "time_signature",
             "upper_tokens", "lower_tokens"} <= set(bar)
