@@ -126,7 +126,14 @@ def synthesize_target_audio(target: List[list], sr: int = 16000,
 
 def make_song(rng: np.random.RandomState, n_bars: int = 5,
               upper_notes=(4, 9), lower_notes=(3, 6)):
-    """-> (target, audio): one song's target structure + rendered clip."""
+    """-> (target, audio): one song's target structure + rendered clip.
+
+    The KEY SIGNATURE label is drawn independently of the (uniformly
+    random) pitches, so key classification is unlearnable on this corpus
+    by construction — chance-level key_f1 (~1/14) on synth-corpus runs
+    is expected, not a bug (real corpora carry key-consistent pitch
+    distributions). Time signature, tokens, and durations ARE encoded in
+    the audio and train to high accuracy."""
     labels = LabelsMultiple(extended=True)
     key = int(rng.randint(-6, 8))
     ts = "4/4"
