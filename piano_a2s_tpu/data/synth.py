@@ -43,17 +43,36 @@ _DURATIONS = ["2", "4", "4", "8", "8", "16"]  # quarter/eighth-heavy mix
 _NOTE_RE = re.compile(r"(\d+\.*)([a-gA-Gr]+[\-#]*)")
 
 
+# Circle-of-fifths accidental orders: key signature +n sharps the first
+# n letters of _SHARP_ORDER, -n flats the first n of _FLAT_ORDER.
+_SHARP_ORDER = "fcgdaeb"
+_FLAT_ORDER = "beadgcf"
+
+
+def key_accidental(letter: str, key: int) -> str:
+    """The accidental the key signature puts on this pitch letter."""
+    low = letter[0].lower()
+    if key > 0 and low in _SHARP_ORDER[:key]:
+        return "#"
+    if key < 0 and low in _FLAT_ORDER[:-key]:
+        return "-"
+    return ""
+
+
 def random_bar_text(rng: np.random.RandomState, staff: str,
-                    n_notes: Tuple[int, int]) -> str:
+                    n_notes: Tuple[int, int], key: int = 0) -> str:
     """One bar of kern note text, pitch-random-walked within the staff's
-    register (a few accidentals, no chords/ties — plain learnable bars)."""
+    register (no chords/ties — plain learnable bars). Accidentals follow
+    the KEY SIGNATURE (4% chromatic noise), so the rendered audio carries
+    a learnable key signal — key_f1 is a real metric on this corpus."""
     pitches = _UPPER_PITCHES if staff == "upper" else _LOWER_PITCHES
     pos = rng.randint(len(pitches))
     notes = []
     for _ in range(rng.randint(n_notes[0], n_notes[1] + 1)):
         pos = int(np.clip(pos + rng.randint(-2, 3), 0, len(pitches) - 1))
-        acc = "-" if rng.rand() < 0.08 else ("#" if rng.rand() < 0.08
-                                             else "")
+        acc = key_accidental(pitches[pos], key)
+        if rng.rand() < 0.04:  # chromatic passing tone
+            acc = "-" if rng.rand() < 0.5 else "#"
         dur = _DURATIONS[rng.randint(len(_DURATIONS))]
         notes.append(f"{dur}{pitches[pos]}{acc}")
     return " ".join(notes)
@@ -128,19 +147,18 @@ def make_song(rng: np.random.RandomState, n_bars: int = 5,
               upper_notes=(4, 9), lower_notes=(3, 6)):
     """-> (target, audio): one song's target structure + rendered clip.
 
-    The KEY SIGNATURE label is drawn independently of the (uniformly
-    random) pitches, so key classification is unlearnable on this corpus
-    by construction — chance-level key_f1 (~1/14) on synth-corpus runs
-    is expected, not a bug (real corpora carry key-consistent pitch
-    distributions). Time signature, tokens, and durations ARE encoded in
-    the audio and train to high accuracy."""
+    All four prediction heads are learnable from the audio: tokens and
+    durations directly, and the key signature through the key-consistent
+    accidentals random_bar_text applies (before round 3 the key label
+    was independent of the pitches, making key_f1 chance-level ~1/14 by
+    construction on synth runs)."""
     labels = LabelsMultiple(extended=True)
     key = int(rng.randint(-6, 8))
     ts = "4/4"
     target, texts = [], []
     for _ in range(n_bars):
-        up = random_bar_text(rng, "upper", upper_notes)
-        low = random_bar_text(rng, "lower", lower_notes)
+        up = random_bar_text(rng, "upper", upper_notes, key=key)
+        low = random_bar_text(rng, "lower", lower_notes, key=key)
         target.append([key, ts, labels.encode(low), labels.encode(up)])
         texts.append((up, low))
     audio = synthesize_target_audio(target, bar_texts=texts)
