@@ -147,11 +147,14 @@ def make_song(rng: np.random.RandomState, n_bars: int = 5,
               upper_notes=(4, 9), lower_notes=(3, 6)):
     """-> (target, audio): one song's target structure + rendered clip.
 
-    All four prediction heads are learnable from the audio: tokens and
+    All four prediction heads carry signal in the audio: tokens and
     durations directly, and the key signature through the key-consistent
     accidentals random_bar_text applies (before round 3 the key label
     was independent of the pitches, making key_f1 chance-level ~1/14 by
-    construction on synth runs)."""
+    construction on synth runs). Caveat: the ENHARMONIC pairs +6/-6
+    (F#/Gb) and +7/-5 (C#/Db) render identical pitch-class audio, so
+    key_f1 saturates near ~0.86 — the measured 0.875 (DESIGN §10) is AT
+    this corpus ceiling, not below a reachable 1.0."""
     labels = LabelsMultiple(extended=True)
     key = int(rng.randint(-6, 8))
     ts = "4/4"

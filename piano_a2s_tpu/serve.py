@@ -17,6 +17,7 @@ Endpoints:
        or a raw .npy mono float32/int16 array at the model sample rate.
   GET  /healthz   liveness + device/model info
   GET  /stats     request/batch counters (shows the batcher working)
+  GET  /          usage summary
 
 Design note: the worker runs ONE blocking fused-program call per dynamic
 batch rather than the multi-batch in-flight stream
@@ -179,18 +180,18 @@ def _render(target, fmt: str):
     """Target structure -> (content_type, bytes) in the asked format."""
     from .symbolic.export import export_target, tokens_to_kern
 
-    if fmt == "json":
-        bars = [{"key_signature": m[0], "time_signature": m[1],
-                 "lower_tokens": m[2], "upper_tokens": m[3]}
-                for m in target]
-        kern = {"upper": tokens_to_kern([m[3] for m in target]),
-                "lower": tokens_to_kern([m[2] for m in target])}
-        return "application/json", json.dumps(
-            {"bars": bars, "kern": kern}).encode()
-    if fmt == "kern":
-        text = ("!! upper staff\n" + tokens_to_kern([m[3] for m in target])
-                + "\n!! lower staff\n"
-                + tokens_to_kern([m[2] for m in target]) + "\n")
+    if fmt in ("json", "kern"):
+        kern_up = tokens_to_kern([m[3] for m in target])
+        kern_low = tokens_to_kern([m[2] for m in target])
+        if fmt == "json":
+            bars = [{"key_signature": m[0], "time_signature": m[1],
+                     "lower_tokens": m[2], "upper_tokens": m[3]}
+                    for m in target]
+            return "application/json", json.dumps(
+                {"bars": bars,
+                 "kern": {"upper": kern_up, "lower": kern_low}}).encode()
+        text = ("!! upper staff\n" + kern_up
+                + "\n!! lower staff\n" + kern_low + "\n")
         return "text/plain; charset=utf-8", text.encode()
     if fmt in ("musicxml", "midi"):
         suffix = ".xml" if fmt == "musicxml" else ".mid"
