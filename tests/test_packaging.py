@@ -30,7 +30,7 @@ def test_pip_install_target(tmp_path):
     assert os.path.exists(os.path.join(pkg, "symbolic",
                                        "libkern_tools.so"))
     for script in ("piano-a2s-pretrain", "piano-a2s-transcribe",
-                   "piano-a2s-prepare-data"):
+                   "piano-a2s-prepare-data", "piano-a2s-serve"):
         assert os.path.exists(os.path.join(target, "bin", script)), script
 
     # The installed copy must work WITHOUT the repo checkout: run from a
