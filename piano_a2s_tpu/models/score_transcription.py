@@ -105,10 +105,14 @@ def init_params(key, cfg: ModelConfig = ModelConfig()) -> Dict[str, Any]:
 
     kes = jax.random.split(ke, 5)
     encoder = {
+        # The reference's init_gru touches only weight_ih_l{i}/
+        # weight_hh_l{i} (models.py:574-585) — the bidirectional
+        # encoder's *_reverse parameters KEEP torch defaults, so the
+        # backward directions init with mode="torch" here.
         "l0_fwd": G.init_gru_params(kes[0], f, h, mode="piano"),
-        "l0_bwd": G.init_gru_params(kes[1], f, h, mode="piano"),
+        "l0_bwd": G.init_gru_params(kes[1], f, h, mode="torch"),
         "l1_fwd": G.init_gru_params(kes[2], 2 * h, h, mode="piano"),
-        "l1_bwd": G.init_gru_params(kes[3], 2 * h, h, mode="piano"),
+        "l1_bwd": G.init_gru_params(kes[3], 2 * h, h, mode="torch"),
         "fc": L.init_linear_params(kes[4], 2 * h, h, mode="xavier"),
     }
 

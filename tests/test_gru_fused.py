@@ -67,3 +67,36 @@ def test_fused_ignores_padded_tail():
     out_junk = bidir_final_fused(pf, pb, xs_junk, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_junk),
                                rtol=0, atol=0)
+
+
+def test_gru_sequence_matches_step_loop():
+    """ops.gru.gru_sequence (the plain full-sequence runner) == stepping
+    gru_step manually, forward and reverse — pins the hoisted input
+    projection against the per-step primitive the decoders use."""
+    from piano_a2s_tpu.ops.gru import gru_sequence, gru_step
+
+    k = jax.random.PRNGKey(3)
+    kp, kx = jax.random.split(k)
+    F, H, B, T = 5, 6, 3, 7
+    p = init_gru_params(kp, F, H, mode="piano")
+    xs = jax.random.normal(kx, (T, B, F))
+    h0 = jnp.zeros((B, H))
+
+    hs, h_t = gru_sequence(p, xs, h0)
+    h = h0
+    for t in range(T):
+        h = gru_step(p, xs[t], h)
+        np.testing.assert_allclose(np.asarray(hs[t]), np.asarray(h),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(h),
+                               rtol=1e-6, atol=1e-6)
+
+    # reverse=True: hs[t] is the state after consuming xs[t..T-1]
+    hs_r, h_t_r = gru_sequence(p, xs, h0, reverse=True)
+    h = h0
+    for t in range(T - 1, -1, -1):
+        h = gru_step(p, xs[t], h)
+        np.testing.assert_allclose(np.asarray(hs_r[t]), np.asarray(h),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_t_r), np.asarray(h),
+                               rtol=1e-6, atol=1e-6)
