@@ -36,7 +36,7 @@ def _free_port() -> int:
     return port
 
 
-def _launch(workdir: str, mode: str):
+def _launch_once(workdir: str, mode: str):
     port = _free_port()
     env = dict(os.environ)
     procs = [
@@ -52,6 +52,23 @@ def _launch(workdir: str, mode: str):
         # loaded CI host have been observed to exceed 480 s.
         out, _ = p.communicate(timeout=900)
         outs.append((p.returncode, out))
+    return outs
+
+
+def _launch(workdir: str, mode: str):
+    """Launch the 2-process worker pair, retrying ONCE on the documented
+    environmental flake: Gloo establishes its collective context at the
+    first cross-process collective under a hard ~30 s deadline, and
+    compile-time skew between the workers on a loaded host blows it
+    ("Gloo context initialization failed: DEADLINE_EXCEEDED" — see
+    parallel.distributed_init). That failure says nothing about the
+    code under test, so a single retry keeps full-suite runs
+    deterministic without masking real failures (any other error, or a
+    second Gloo timeout, still fails the test)."""
+    outs = _launch_once(workdir, mode)
+    if any("Gloo context initialization failed" in out
+           or "DEADLINE_EXCEEDED" in out for _, out in outs):
+        outs = _launch_once(workdir, mode)
     return outs
 
 
