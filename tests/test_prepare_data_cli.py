@@ -116,6 +116,19 @@ def test_syn_full_chain(syn_corpus):
     assert audios == specs
     assert np.load(train0 / "audio" / audios[0]).dtype == np.int16
 
+    # ... and the audio-mode dataset round-trips the pipeline's output
+    # (the `input_features: audio` training layout works end-to-end
+    # from the REAL synthesis pipeline, not just data/synth.py).
+    from piano_a2s_tpu.data import SyntheticTrainDataset
+    ds = SyntheticTrainDataset(
+        str(root / "features"), "train", versions=[0],
+        input_features="audio", max_samples=16000,
+        rng=np.random.RandomState(0))
+    item = ds[0]
+    assert item["audio"].dtype == np.int16
+    assert item["audio"].shape == (16000,)
+    assert item["upper"].ndim == 2
+
     # Target payload decodes: 5 measures of (key, time, lower, upper).
     with open(train0 / "target" / targets[0], "rb") as f:
         target = pickle.load(f)
