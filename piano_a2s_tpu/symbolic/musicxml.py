@@ -117,7 +117,9 @@ def _measure_xml(measure: Measure, divisions: int, index: int,
     lines.append(_voice_xml(voices[0], divisions, 1))
     if len(voices) > 1 and voices[1]:
         dur_v1 = sum((c.duration for c in voices[0]), Fraction(0))
-        backup = int(dur_v1 * 4 * divisions)
+        # A voice entering mid-measure (*^ split after some primary-voice
+        # notes; Measure.voice_offsets) backs up only to its entry point.
+        backup = int((dur_v1 - measure.voice_offset(1)) * 4 * divisions)
         if backup > 0:
             lines.append("    <backup>")
             lines.append(f"      <duration>{backup}</duration>")

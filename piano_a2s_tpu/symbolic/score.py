@@ -60,6 +60,15 @@ class Measure:
     key_fifths: int = 0             # sharps (+) / flats (-)
     time_sig: Tuple[int, int] = (4, 4)
     voices: List[List[Chord]] = dataclasses.field(default_factory=list)
+    # Per-voice start offset within the measure (whole-note units): a
+    # voice created by a MID-MEASURE *^ split begins when the primary
+    # voice had already sounded its pre-split notes, not at the measure
+    # start. Missing entries mean offset 0.
+    voice_offsets: List[Fraction] = dataclasses.field(default_factory=list)
+
+    def voice_offset(self, v_idx: int) -> Fraction:
+        return (self.voice_offsets[v_idx]
+                if v_idx < len(self.voice_offsets) else Fraction(0))
 
 
 @dataclasses.dataclass
@@ -165,9 +174,19 @@ def parse_staff_kern(kern_text: str, keys: List[int],
         num, den = ts.split("/")
         measure = Measure(key_fifths=int(k),
                           time_sig=(int(num), int(den)),
-                          voices=[[] for _ in range(2)])
+                          voices=[[] for _ in range(2)],
+                          voice_offsets=[Fraction(0), Fraction(0)])
+        v0_time = Fraction(0)  # primary voice's elapsed time this measure
         for line in segment:
-            if not line or line.startswith("*"):
+            if not line:
+                continue
+            if line.startswith("*"):
+                # A MID-measure *^ split: the new (second) voice enters at
+                # the time the primary voice has already consumed — not at
+                # the measure start (a split carried over from an earlier
+                # measure leaves the offset at 0).
+                if "*^" in line.split("\t") and not measure.voices[1]:
+                    measure.voice_offsets[1] = v0_time
                 continue
             for v, col in enumerate(line.split("\t")[:2]):
                 if col == "." or col == "":
@@ -179,9 +198,14 @@ def parse_staff_kern(kern_text: str, keys: List[int],
                             f"malformed kern token: {col!r}")
                     continue
                 measure.voices[v].append(chord)
-        measure.voices = [v for v in measure.voices if v]
+                if v == 0:
+                    v0_time += chord.duration
+        keep = [i for i, v in enumerate(measure.voices) if v]
+        measure.voice_offsets = [measure.voice_offsets[i] for i in keep]
+        measure.voices = [measure.voices[i] for i in keep]
         if not measure.voices:
             measure.voices = [[]]
+            measure.voice_offsets = [Fraction(0)]
         part.measures.append(measure)
     return part
 
@@ -198,7 +222,7 @@ def timed_notes(part: Part):
         measure_len = Fraction(num, den)
         voice_end = measure_start
         for v_idx, voice in enumerate(measure.voices):
-            t = measure_start
+            t = measure_start + measure.voice_offset(v_idx)
             for chord in voice:
                 for note in chord.notes:
                     out.append((t, t + note.duration, v_idx, note))

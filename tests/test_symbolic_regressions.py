@@ -91,3 +91,35 @@ def test_midi_velocity_from_note_on(tmp_path):
     write_midi(Score(parts=[part]), path)
     notes = read_midi(path).notes()
     assert all(v == 80 for *_, v in notes)
+
+
+def test_mid_measure_voice_split_timing():
+    """A voice created by a MID-measure *^ split enters at the primary
+    voice's elapsed time, not the measure start (regression: voice-2
+    onsets were all shifted to the measure start, corrupting MIDI/
+    MusicXML timing and tie adjacency for split-carrying chunks)."""
+    from fractions import Fraction
+
+    from piano_a2s_tpu.symbolic.score import parse_staff_kern, timed_notes
+
+    kern = "4c\n*^\n4d\t4e\n4e\t4f\n4f\t4g\n=\n"
+    part = parse_staff_kern(kern, [0], ["4/4"])
+    assert part.measures[0].voice_offsets[1] == Fraction(1, 4)
+    v1_onsets = sorted(on for on, _, v, _ in timed_notes(part) if v == 1)
+    assert v1_onsets == [Fraction(1, 4), Fraction(1, 2), Fraction(3, 4)]
+
+    # a split carried over FROM a previous measure starts at offset 0
+    kern2 = "*^\n4c\t4e\n=\n4d\t4f\n=\n"
+    part2 = parse_staff_kern(kern2, [0, 0], ["4/4", "4/4"])
+    assert part2.measures[0].voice_offsets[1] == 0
+    assert part2.measures[1].voice_offset(1) == 0
+
+    # MusicXML backup reflects the entry point (backs up 3/4, not 4/4)
+    from piano_a2s_tpu.symbolic.musicxml import _measure_xml
+    xml = _measure_xml(part.measures[0], 48, 1, "treble", first=True,
+                      prev=None)
+    assert "<backup>" in xml
+    import re
+    backup = int(re.search(r"<backup>\s*<duration>(\d+)</duration>",
+                           xml).group(1))
+    assert backup == int(Fraction(3, 4) * 4 * 48)
