@@ -27,6 +27,23 @@ from ..symbolic.vocab import LabelsMultiple
 from .datasets import load_split_list, load_time_signatures
 
 
+def drop_opening_barline(kern: "Kern") -> "Kern":
+    """Remove an opening barline that precedes ANY content (e.g. the
+    invisible '=1-' verovio emits for some scores): Kern.split would
+    count an empty leading measure and every chunk would sit one measure
+    behind its downbeat audio window — silently, because the
+    content-based measure-count guard still matches."""
+    body = list(kern.body)
+    for idx, line in enumerate(body):
+        if line.startswith(("!", "*")) or not line.strip():
+            continue
+        if line.split("\t")[0].startswith("="):
+            body = body[:idx] + body[idx + 1:]
+            return Kern(data="\n".join(kern.header + body + kern.footer))
+        break
+    return kern
+
+
 def parse_annotation_downbeats(anno_lines: List[str]
                                ) -> Tuple[bool, List[Tuple[float,
                                                            Optional[str],
@@ -124,11 +141,20 @@ class ProcessASAP:
         r = subprocess.run(
             ["verovio", "-f", "musicxml-hum", "-t", "hum", xml_path,
              "-o", kern_path], capture_output=True, text=True)
-        if r.returncode != 0 or "Warning" in (r.stderr or ""):
+        # Errors abort the score; WARNINGS are tolerated (journaled) —
+        # the reference converts per chunk and drops only warned chunks
+        # (asap.py:114-120), so rejecting the whole score on one warning
+        # in a single conversion would lose every chunk of a long score.
+        # Bad content still gets caught per chunk by the cleanliness and
+        # measure-alignment guards below.
+        if r.returncode != 0 or "Error" in (r.stderr or ""):
             return None, 0
+        if "Warning" in (r.stderr or ""):
+            print(f"{xml_path}: verovio warned (continuing): "
+                  f"{(r.stderr or '').strip()[:200]}")
         with open(kern_path, encoding="iso-8859-1") as f:
             text = f.read()
-        full = Kern(data=text)
+        full = drop_opening_barline(Kern(data=text))
         n_measures = count_measure_segments("\n".join(full.body))
         try:
             chunks = full.split(5, 1)
@@ -208,17 +234,18 @@ class ProcessASAP:
             ok, cleaned = kern.clean()
             if not ok or cleaned:
                 return False
+        fixed_by_sub = {}
         for kern, sub in ((lower, "kern_lower"), (upper, "kern_upper"),
                           (full, "kern")):
             try:
-                fixed = tiefix_kern(kern.dump())
+                fixed_by_sub[sub] = tiefix_kern(kern.dump())
             except ValueError:
                 return False
             with open(os.path.join(feature_folder, sub, f"{name}.krn"),
                       "w", encoding="iso-8859-1") as f:
-                f.write(fixed)
-        lower = Kern(data=tiefix_kern(lower.dump()))
-        upper = Kern(data=tiefix_kern(upper.dump()))
+                f.write(fixed_by_sub[sub])
+        lower = Kern(data=fixed_by_sub["kern_lower"])
+        upper = Kern(data=fixed_by_sub["kern_upper"])
 
         try:
             lower = process_voices(lower)

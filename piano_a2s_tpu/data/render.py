@@ -106,8 +106,7 @@ def measure_signatures(kern_text: str
     key: Optional[int] = None
     time: Optional[str] = None
     sigs: List[Tuple[Optional[int], Optional[str]]] = []
-    measure_open = True   # a measure awaiting its first content line
-    measure_finalized = False
+    measure_finalized = False  # current measure already got its sigs
     for line in kern_text.splitlines():
         m = _KEYSIG_RE.search(line)
         if m:
@@ -119,14 +118,13 @@ def measure_signatures(kern_text: str
         if m:
             time = f"{m.group(1)}/{m.group(2)}"
         if _BARLINE_RE.match(line):
-            if measure_open and not measure_finalized:
+            if not measure_finalized:
                 # previous measure had no content; close it with current sigs
                 sigs.append((key, time))
-            measure_open = True
             measure_finalized = False
             continue
         if not line.startswith(("*", "!", "=")) and line.strip():
-            if measure_open and not measure_finalized:
+            if not measure_finalized:
                 sigs.append((key, time))
                 measure_finalized = True
     return sigs
@@ -208,8 +206,17 @@ def _build_chunk_target(paths: Dict[str, str], chunk_id: str,
                                "chunk": chunk_id + ".krn"}
     with open(paths["kern"], encoding="iso-8859-1") as f:
         full_text = f.read()
+    # The reference parses each chunk through music21 .expandRepeats()
+    # and rejects when the expanded measure count != chunk_size
+    # (render.py:135-142) — which in practice drops chunks carrying
+    # REPEAT barlines (expansion duplicates their measures). Kern.split
+    # always yields exactly chunk_size barlines, so a raw count can't
+    # discriminate; detect the repeat glyphs on barlines instead.
     if count_measures(full_text) != chunk_size:
         return 0
+    for line in full_text.splitlines():
+        if _BARLINE_RE.match(line) and ":" in line.split("\t")[0]:
+            return 0  # repeat barline: expandRepeats() would diverge
     sigs = measure_signatures(full_text)
     original_key = sigs[0][0] if sigs and sigs[0][0] is not None else 0
 
@@ -458,7 +465,13 @@ def xml_to_midi(versions: Sequence[int], feature_folder: str,
                             ["verovio", "-f", "musicxml-hum", "-t", "midi",
                              xml_path, "-o", tmp_mid], capture_output=True,
                             text=True)
-                        if r.returncode != 0:
+                        # The reference also drops chunks verovio renders
+                        # WITH warnings/errors on stderr — exit 0 with a
+                        # warning means partially rendered content
+                        # (reference: render.py:430-436).
+                        if r.returncode != 0 or (
+                                r.stderr and ("Warning" in r.stderr
+                                              or "Error" in r.stderr)):
                             continue
                         src_mid = tmp_mid
                     else:

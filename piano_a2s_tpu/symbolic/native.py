@@ -404,9 +404,17 @@ def _py_tiefix(data: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _reject_unsupported(kern_text: str) -> None:
-    if "*+" in kern_text or "*x" in kern_text:
-        raise ValueError(
-            "unsupported spine manipulators *+/*x in kern input")
+    """Reject *+/*x spine manipulators — but only as actual spine CELLS
+    (a substring check would also fire on comments/reference records like
+    '!! merged via *x', which the humextra tools and Kern.clean's
+    startswith-based check both accept; reference: humdrum.py:330-333)."""
+    for line in kern_text.splitlines():
+        if line.startswith(("!", "=")) or not line.startswith("*"):
+            continue
+        for cell in line.split("\t"):
+            if cell in ("*+", "*x"):
+                raise ValueError(
+                    "unsupported spine manipulators *+/*x in kern input")
 
 
 def extract_spine(kern_text: str, spine: int) -> str:

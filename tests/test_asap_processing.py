@@ -128,3 +128,27 @@ def test_dataloader_prefetch_order_identical(tmp_path):
                                         prefetch=2)]
     assert a == b
     assert len(a) == 4 and len(a[-1]) == 3  # final batch padded
+
+
+def test_drop_opening_barline_alignment():
+    """An opening (e.g. invisible '=1-') barline before any content must
+    not create an empty leading measure: chunks would silently sit one
+    measure behind their downbeat audio windows (the content-based
+    measure-count guard can't catch the shift)."""
+    from piano_a2s_tpu.data.asap import drop_opening_barline
+
+    KERN = ("**kern\n*clefG2\n*k[]\n*M4/4\n=1-\n4c\n=2\n4e\n=3\n4f\n"
+            "=4\n4g\n=5\n4a\n=6\n4b\n==\n*-\n")
+    fixed = drop_opening_barline(Kern(data=KERN))
+    assert "=1-" not in fixed.body
+    chunks = fixed.split(5, 1)
+    # chunk 0 must cover content measures 1..5 (4c..4a), not pad with an
+    # empty leading measure (which left it at 4c..4g)
+    content = [ln for ln in chunks[0].body
+               if not ln.startswith(("*", "!", "="))]
+    assert content == ["4c", "4e", "4f", "4g", "4a"]
+
+    # no leading barline -> unchanged object content
+    KERN2 = "**kern\n*M4/4\n4c\n=2\n4e\n==\n*-\n"
+    assert drop_opening_barline(Kern(data=KERN2)).body == \
+        Kern(data=KERN2).body
