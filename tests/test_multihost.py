@@ -47,27 +47,45 @@ def _launch_once(workdir: str, mode: str):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        # 900 s: two jax.distributed processes compiling on a fully
-        # loaded CI host have been observed to exceed 480 s.
-        out, _ = p.communicate(timeout=900)
-        outs.append((p.returncode, out))
+    try:
+        for p in procs:
+            # 900 s: two jax.distributed processes compiling on a fully
+            # loaded CI host have been observed to exceed 480 s.
+            out, _ = p.communicate(timeout=900)
+            outs.append((p.returncode, out))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        # synthesize an environmental-timeout marker _launch retries on
+        outs = [(-1, "ENV-TIMEOUT: worker pair exceeded 900 s "
+                     "(compile/collective skew under host load)")]
     return outs
 
 
+_ENV_FLAKE_MARKS = (
+    # Gloo establishes its collective context at the first cross-process
+    # collective under a hard ~30 s internal deadline; compile-time skew
+    # between workers on a loaded host blows it (parallel.distributed_init)
+    "Gloo context initialization failed",
+    "DEADLINE_EXCEEDED",
+    # coordinator/barrier timeouts in the same init phase
+    "Barrier timed out",
+    "barrier timed out",
+    "ENV-TIMEOUT",
+)
+
+
 def _launch(workdir: str, mode: str):
-    """Launch the 2-process worker pair, retrying ONCE on the documented
-    environmental flake: Gloo establishes its collective context at the
-    first cross-process collective under a hard ~30 s deadline, and
-    compile-time skew between the workers on a loaded host blows it
-    ("Gloo context initialization failed: DEADLINE_EXCEEDED" — see
-    parallel.distributed_init). That failure says nothing about the
-    code under test, so a single retry keeps full-suite runs
-    deterministic without masking real failures (any other error, or a
-    second Gloo timeout, still fails the test)."""
+    """Launch the 2-process worker pair, retrying ONCE on documented
+    ENVIRONMENTAL failures (Gloo context deadline, distributed barrier
+    timeout, or the pair exceeding the hard wall limit under host load).
+    Those say nothing about the code under test; a single retry keeps
+    full-suite runs deterministic without masking real failures — any
+    other error, or a second environmental failure, still fails."""
     outs = _launch_once(workdir, mode)
-    if any("Gloo context initialization failed" in out
-           or "DEADLINE_EXCEEDED" in out for _, out in outs):
+    if any(mark in out for _, out in outs for mark in _ENV_FLAKE_MARKS):
         outs = _launch_once(workdir, mode)
     return outs
 
