@@ -22,6 +22,9 @@ _PLACEHOLDER_RE = re.compile(r"<([A-Za-z0-9_]+)>")
 
 
 def _interpolate(value: Any, root: Dict[str, Any], depth: int = 0) -> Any:
+    # `depth` counts REFERENCE-RESOLUTION hops only (a <a> -> <b> -> ...
+    # chain), not structural dict/list nesting — a legitimately deep
+    # config must not trip the cycle guard.
     if depth > 10:
         raise ValueError("config interpolation too deep (cycle?)")
     if isinstance(value, str):
@@ -42,9 +45,9 @@ def _interpolate(value: Any, root: Dict[str, Any], depth: int = 0) -> Any:
         new = _PLACEHOLDER_RE.sub(sub, value)
         return new
     if isinstance(value, dict):
-        return {k: _interpolate(v, root, depth + 1) for k, v in value.items()}
+        return {k: _interpolate(v, root, depth) for k, v in value.items()}
     if isinstance(value, list):
-        return [_interpolate(v, root, depth + 1) for v in value]
+        return [_interpolate(v, root, depth) for v in value]
     return value
 
 
@@ -182,7 +185,10 @@ class ExperimentConfig:
             note_emb_size=self.note_emb_size,
             staff_emb_size=self.staff_emb_size,
             time_sig_emb_size=self.time_sig_emb_size,
-            key_emb_size=self.key_emb_size)
+            key_emb_size=self.key_emb_size,
+            # the loss-masked id IS the vocabulary's <pad>
+            # (reference: hparams/pretrain.yaml:53-55 ignore_index: 147)
+            pad=int(self.ignore_index))
 
     def vqt_config(self):
         from .ops.vqt import VQTConfig

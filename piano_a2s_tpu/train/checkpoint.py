@@ -65,9 +65,17 @@ class Checkpointer:
         """Save one checkpoint: `trees` are array pytrees (params, state,
         opt_state), `meta` are metrics, `host_state` is JSON-serializable
         (scheduler, epoch counter)."""
-        tag = f"{CKPT_PREFIX}+{time.strftime('%Y-%m-%d+%H-%M-%S')}+{len(self._ckpt_dirs()):02d}"
-        path = os.path.join(self.dir, tag)
-        os.makedirs(path, exist_ok=True)
+        # Count suffix must produce an UNUSED dir: after keep-only-best
+        # deletions the dir count is non-monotonic, so two improving
+        # epochs within the same wall-clock second could collide on the
+        # same tag (orbax refuses to save into an existing destination).
+        stamp = time.strftime("%Y-%m-%d+%H-%M-%S")
+        count = len(self._ckpt_dirs())
+        while os.path.exists(os.path.join(
+                self.dir, f"{CKPT_PREFIX}+{stamp}+{count:02d}")):
+            count += 1
+        path = os.path.join(self.dir, f"{CKPT_PREFIX}+{stamp}+{count:02d}")
+        os.makedirs(path)
         ckptr = _save_checkpointer()
         for name, tree in trees.items():
             ckptr.save(os.path.join(path, name),
@@ -171,7 +179,16 @@ class Checkpointer:
         optionally overwriting metric values (e.g. WER=100) and host state
         (e.g. epoch=0 — the reference's finetune drops the epoch counter
         from its recoverables, finetune.yaml vs pretrain.yaml:116, so
-        finetuning restarts epoch counting)."""
+        finetuning restarts epoch counting).
+
+        Imported checkpoints are marked fresh_optimizer=True in their
+        host state: the reference's checkpointer recoverables EXCLUDE the
+        optimizer (hparams/*.yaml:110-116), so a warm-started finetune
+        runs its first epoch with a fresh Adadelta at the config's lr —
+        Trainer.restore honors the marker by re-initializing opt_state
+        instead of loading the pretrain run's annealed accumulators."""
+        reset_host_state = dict(reset_host_state or {},
+                                fresh_optimizer=True)
         other = Checkpointer(other_dir)
         for src in other._ckpt_dirs():
             dst = os.path.join(self.dir, os.path.basename(src))

@@ -129,23 +129,29 @@ class Trainer:
                 raise ValueError(
                     f"upload_dtype={choice!r}: audio batches support "
                     f"'int16' or 'float32'") from None
-        elif self.conv_dtype is not None:
+        else:
+            # Spectrogram batches: bf16 training defaults to uint8
+            # staging; f32 training defaults to f32 uploads (parity) but
+            # an EXPLICIT upload_dtype is honored — and validated — in
+            # both modes (a typo'd or ignored knob must never pass
+            # silently while the user believes staging is active).
             choice = exp.extras.get("upload_dtype")
             if choice is None:
                 legacy = exp.extras.get("upload_f16")
-                if legacy is None:
-                    choice = "uint8"
-                else:
+                if legacy is not None:
                     choice = "float16" if legacy else "float32"
-            try:
-                self.upload_dtype = {
-                    "float32": None, "f32": None,
-                    "float16": np.float16, "f16": np.float16,
-                    "uint8": np.uint8, "u8": np.uint8}[str(choice)]
-            except KeyError:
-                raise ValueError(
-                    f"upload_dtype={choice!r}: supported values are "
-                    f"'uint8', 'float16', 'float32'") from None
+                elif self.conv_dtype is not None:
+                    choice = "uint8"
+            if choice is not None:
+                try:
+                    self.upload_dtype = {
+                        "float32": None, "f32": None,
+                        "float16": np.float16, "f16": np.float16,
+                        "uint8": np.uint8, "u8": np.uint8}[str(choice)]
+                except KeyError:
+                    raise ValueError(
+                        f"upload_dtype={choice!r}: supported values are "
+                        f"'uint8', 'float16', 'float32'") from None
         # Opt-in faster free-running validation (extras
         # `eval_decode_chunk: auto` or an int): VMEM-resident chunked
         # decode for eval batches above the chunk — OFF by default
@@ -302,7 +308,17 @@ class Trainer:
         trees, host_state, meta = self.checkpointer.load(path, self._trees())
         self.params = trees["params"]
         self.state = trees["state"]
-        self.opt_state = trees["opt_state"]
+        if host_state.get("fresh_optimizer"):
+            # Warm-start import (Checkpointer.import_from): the reference
+            # excludes the optimizer from its recoverables, so finetune's
+            # first epoch runs a fresh Adadelta at the config lr rather
+            # than the pretrain run's annealed accumulators. Intra-run
+            # resumes (checkpoints saved by THIS harness) restore the
+            # full optimizer state — a deliberate improvement over the
+            # reference's fresh-optimizer-on-resume (docs/DESIGN.md §5).
+            self.opt_state = self.optimizer.init(self.params)
+        else:
+            self.opt_state = trees["opt_state"]
         if host_state.get("scheduler"):
             self.scheduler.load_state_dict(host_state["scheduler"])
         self.start_epoch = int(host_state.get("epoch", 0)) + 1

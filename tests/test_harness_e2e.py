@@ -197,3 +197,70 @@ def test_profile_flag_produces_trace_and_step_times(exp):
     assert times["train_step"]["count"] == 2  # 4 songs / batch 2
     assert times["train_step"]["mean_s"] > 0
     assert "step_ms" in open(exp.train_log).read()
+
+
+def test_checkpoint_tag_collision_same_second(tmp_path):
+    """Two saves within one wall-clock second after keep-only deletions
+    must land in DISTINCT dirs (regression: the count suffix reset after
+    deletions, colliding the tag; orbax refuses existing destinations)."""
+    from piano_a2s_tpu.train.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "save"))
+    trees = {"params": {"w": np.zeros(3, np.float32)}}
+    p1 = ck.save_and_keep_only(trees, {"WER": 2.0})
+    p2 = ck.save_and_keep_only(trees, {"WER": 1.0})  # improves -> saves,
+    p3 = ck.save_and_keep_only(trees, {"WER": 0.5})  # deleting the prior
+    assert len({p1, p2, p3}) == 3
+    assert os.path.isdir(p3)
+
+
+def test_warm_start_uses_fresh_optimizer(exp, tmp_path):
+    """import_from marks checkpoints fresh_optimizer; restoring one
+    re-initializes Adadelta (the reference's recoverables exclude the
+    optimizer, so finetune epoch 1 runs at the config lr with zero
+    accumulators), while intra-run resume keeps the full opt state."""
+    import jax
+    from piano_a2s_tpu.train.checkpoint import Checkpointer
+
+    train_ds = SyntheticTrainDataset(
+        exp.feature_folder, "train", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length,
+        rng=np.random.RandomState(0))
+    valid_ds = SyntheticTestDataset(
+        exp.feature_folder, "valid", versions=[0],
+        max_frame_num=exp.max_frame_num, max_length=exp.max_length)
+    trainer = Trainer(exp)
+    trainer.fit(DataLoader(train_ds, 2, shuffle=True, seed=0),
+                DataLoader(valid_ds, 2))
+    # after two epochs the Adadelta accumulators are non-zero
+    acc_leaves = jax.tree.leaves(trainer.opt_state)
+    assert any(float(np.abs(np.asarray(a)).max()) > 0 for a in acc_leaves)
+
+    # intra-run resume restores the full optimizer state
+    resumed = Trainer(exp)
+    assert resumed.try_resume()
+    for a, b in zip(jax.tree.leaves(resumed.opt_state),
+                    jax.tree.leaves(trainer.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # warm-start import -> fresh optimizer on restore
+    exp2 = ExperimentConfig(
+        **{**{f.name: getattr(exp, f.name)
+              for f in __import__("dataclasses").fields(exp)
+              if f.name != "extras"},
+           "output_folder": str(tmp_path / "out2"),
+           "save_folder": str(tmp_path / "out2" / "save"),
+           "train_log": str(tmp_path / "out2" / "log.txt")})
+    Checkpointer(exp2.save_folder).import_from(
+        exp.save_folder, reset_meta={"WER": 100},
+        reset_host_state={"epoch": 0, "global_step": 0})
+    warm = Trainer(exp2)
+    assert warm.try_resume()
+    fresh = warm.optimizer.init(warm.params)
+    for a, b in zip(jax.tree.leaves(warm.opt_state),
+                    jax.tree.leaves(fresh)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params DID carry over from the pretrained run
+    for a, b in zip(jax.tree.leaves(warm.params),
+                    jax.tree.leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
