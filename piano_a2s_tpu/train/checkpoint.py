@@ -41,8 +41,9 @@ def _save_checkpointer() -> ocp.Checkpointer:
 
 class Checkpointer:
     def __init__(self, checkpoints_dir: str):
+        # No makedirs here: loading from a mistyped path must not leave
+        # empty directories behind (dirs are created on the save paths).
         self.dir = os.path.abspath(checkpoints_dir)
-        os.makedirs(self.dir, exist_ok=True)
 
     # -- enumeration --------------------------------------------------------
 
@@ -69,6 +70,7 @@ class Checkpointer:
         # deletions the dir count is non-monotonic, so two improving
         # epochs within the same wall-clock second could collide on the
         # same tag (orbax refuses to save into an existing destination).
+        os.makedirs(self.dir, exist_ok=True)
         stamp = time.strftime("%Y-%m-%d+%H-%M-%S")
         count = len(self._ckpt_dirs())
         while os.path.exists(os.path.join(
@@ -100,6 +102,7 @@ class Checkpointer:
         of a save killed mid-flight; resume already ignores them, this
         keeps them from accumulating). Safe: saves are sequential within
         the single saving process (process 0)."""
+        os.makedirs(self.dir, exist_ok=True)
         # Sweep debris FIRST, unconditionally — the skip-save fast path
         # below must not let crashed-save dirs accumulate across runs
         # whose metric never improves again.
@@ -189,6 +192,7 @@ class Checkpointer:
         instead of loading the pretrain run's annealed accumulators."""
         reset_host_state = dict(reset_host_state or {},
                                 fresh_optimizer=True)
+        os.makedirs(self.dir, exist_ok=True)
         other = Checkpointer(other_dir)
         for src in other._ckpt_dirs():
             dst = os.path.join(self.dir, os.path.basename(src))

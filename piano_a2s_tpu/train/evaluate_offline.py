@@ -126,6 +126,8 @@ def summarize_syn_mv2h(results_dir: str, composer: str = "all",
     metrics = {k: 0.0 for k in MV2H_KEYS}
     n = 0
     for mv2h_file in sorted(os.listdir(mv2h_folder)):
+        if not mv2h_file.endswith(".json"):
+            continue
         clip_id = mv2h_file[:-10]  # strip '_mv2h.json'
         if ids is not None and clip_id not in ids:
             continue
@@ -162,6 +164,8 @@ def summarize_asap_mv2h(results_dir: str, split: Optional[str] = None):
     metrics = {k: 0.0 for k in MV2H_KEYS}
     n = 0
     for mv2h_file in sorted(os.listdir(mv2h_folder)):
+        if not mv2h_file.endswith(".json"):
+            continue
         clip_id = mv2h_file[:-10]
         if ids is not None and clip_id not in ids:
             continue
@@ -227,8 +231,8 @@ def get_muster_er(results_dir: str,
                 line = f.readline().strip()
             current = np.array([float(x) for x in
                                 line.split(",")[12].split("\t")[1:]])
-            if np.isnan(current).any():
-                continue
+            if len(current) != 11 or np.isnan(current).any():
+                continue  # malformed ER.txt: skip, never mis-broadcast
         except Exception:
             continue
         ers += current

@@ -1,5 +1,8 @@
-"""Plain-text epoch logger (SpeechBrain FileTrainLogger-compatible output;
-reference: hparams/pretrain.yaml:118-119, pretrain.py:180-184)."""
+"""Plain-text epoch logger in the spirit of SpeechBrain's
+FileTrainLogger (one line per epoch: stage meta + per-stage stats;
+reference: hparams/pretrain.yaml:118-119, pretrain.py:180-184). The
+exact separators/float formats are OURS, not byte-compatible with
+SpeechBrain's — don't diff train_log.txt against a reference run's."""
 
 from __future__ import annotations
 

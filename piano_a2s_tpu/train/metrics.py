@@ -36,6 +36,7 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
     hyp_ids = np.fromiter((vocab.setdefault(t, len(vocab)) for t in hyp),
                           np.int32, len(hyp))
     prev = np.arange(len(hyp) + 1, dtype=np.int64)
+    ar = np.arange(len(prev))  # loop-invariant index ramp
     for i, r in enumerate(ref_ids, 1):
         sub = prev[:-1] + (hyp_ids != r)
         dele = prev[1:] + 1
@@ -44,7 +45,6 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
         np.minimum(sub, dele, out=cur[1:])
         # Insertions propagate left-to-right: cur[j] = min(cur[j], cur[j-1]+1)
         # == prefix-min of (cur[j] - j), shifted back.
-        ar = np.arange(len(cur))
         tmp = cur - ar
         np.minimum.accumulate(tmp, out=tmp)
         prev = tmp + ar

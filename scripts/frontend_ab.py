@@ -71,7 +71,8 @@ def main():
     if not os.path.isdir(audio_dir):
         raise SystemExit(f"{audio_dir} not found — the corpus must carry "
                          f"raw audio for an A/B (synth corpora do)")
-    names = sorted(f[:-4] for f in os.listdir(audio_dir))
+    names = sorted(f[:-4] for f in os.listdir(audio_dir)
+                   if f.endswith(".npy"))
 
     import pickle
 
@@ -97,7 +98,7 @@ def main():
         ts_a, key_a, up_a, low_a = a[0][0], a[1][0], a[2][0], a[3][0]
         ts_b, key_b, up_b, low_b = b[0][0], b[1][0], b[2][0], b[3][0]
         stats["clips"] += 1
-        for m in range(len(target)):
+        for m in range(min(len(target), len(ts_a))):
             stats["bars"] += 1
             stats["ts_agree"] += int(ts_a[m] == ts_b[m])
             stats["key_agree"] += int(key_a[m] == key_b[m])
