@@ -29,6 +29,11 @@ def main(argv=None):
                         default="./MUSTER/evaluate_XML_voicePlus.sh",
                         metavar="SCRIPT",
                         help="path to MUSTER's evaluate_XML_voicePlus.sh")
+    parser.add_argument("--jobs", type=int, default=1,
+                        help="concurrent MV2H workers (each clip's export "
+                             "+ Java run is independent; the reference "
+                             "evaluates strictly serially — N jobs cut a "
+                             "large evaluation's wall time ~N-fold)")
     args = parser.parse_args(argv)
 
     from piano_a2s_tpu.config import load_experiment
@@ -53,7 +58,7 @@ def main(argv=None):
             # mv2h_timeout raises it for slow/loaded hosts.
             timeout = float(exp.extras.get("mv2h_timeout", 10.0))
             errors = get_mv2h_from_test(folder, args.split, exp.mv2h_bin,
-                                        timeout=timeout)
+                                        timeout=timeout, jobs=args.jobs)
             print(f"{folder}: MV2H export errors: {len(errors)}")
             if folder == exp.output_folder and "asap" in exp.feature_folder:
                 m, four, n = summarize_asap_mv2h(folder, split=args.split)

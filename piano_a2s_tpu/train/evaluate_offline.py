@@ -53,49 +53,71 @@ def run_mv2h_pair(target_midi: str, pred_midi: str, mv2h_bin: str,
     return result
 
 
+def _mv2h_one(results_dir: str, split_dir: str, result_file: str,
+              mv2h_bin: str, timeout: float) -> Optional[str]:
+    """One clip's export + MV2H run. Returns the clip id on failure,
+    None otherwise. Touches only files derived from this clip's id, so
+    clips can run concurrently."""
+    id_ = result_file[:-5]
+    paths = {
+        "pred_xml": f"{results_dir}/scores/pred/{id_}_pred.xml",
+        "target_xml": f"{results_dir}/scores/target/{id_}_target.xml",
+        "pred_midi": f"{results_dir}/midi/pred/{id_}_pred.mid",
+        "target_midi": f"{results_dir}/midi/target/{id_}_target.mid",
+        "mv2h": f"{results_dir}/mv2h/{id_}_mv2h.json",
+    }
+    if os.path.exists(paths["mv2h"]):
+        return None
+    result = _load_json(os.path.join(split_dir, result_file))
+    try:
+        export_target(result["pred"], paths["pred_xml"],
+                      paths["pred_midi"])
+        with open(result["target_path"], "rb") as f:
+            target = pickle.load(f)
+        export_target(target, paths["target_xml"], paths["target_midi"])
+    except Exception:
+        return id_
+    metrics = run_mv2h_pair(paths["target_midi"], paths["pred_midi"],
+                            mv2h_bin, timeout)
+    if metrics is None:
+        return None
+    if metrics.get("MV2H", 0) == 0:
+        return id_
+    with open(paths["mv2h"], "w") as f:
+        json.dump(metrics, f, indent=2)
+    return None
+
+
 def get_mv2h_from_test(output_folder: str, split: str, mv2h_bin: str,
-                       timeout: float = 10.0) -> List[str]:
+                       timeout: float = 10.0, jobs: int = 1) -> List[str]:
     """Per result JSON: export pred & target scores to MusicXML/MIDI, run
     MV2H, save per-clip metric JSONs; failures recorded in errors.txt
-    (reference: evaluate.py:10-65)."""
+    (reference: evaluate.py:10-65).
+
+    `jobs` > 1 runs clips through a thread pool (the reference is strictly
+    serial, evaluate.py:18): per-clip work is independent — each Java
+    MV2H subprocess releases the GIL for its full (up to `timeout`)
+    runtime — so the wall time of a large evaluation drops ~linearly in
+    `jobs` until the host's cores saturate on the export side. Outputs
+    (per-clip JSONs, errors.txt ordering) are identical to the serial
+    pass; exists-check resumability is unchanged."""
     results_dir = os.path.join(output_folder, "results")
     for d in ("mv2h", "scores/pred", "scores/target", "midi/pred",
               "midi/target"):
         os.makedirs(os.path.join(results_dir, d), exist_ok=True)
-    errors: List[str] = []
     split_dir = os.path.join(results_dir, split)
-    for result_file in sorted(os.listdir(split_dir)):
-        if not result_file.endswith(".json"):
-            continue
-        id_ = result_file[:-5]
-        paths = {
-            "pred_xml": f"{results_dir}/scores/pred/{id_}_pred.xml",
-            "target_xml": f"{results_dir}/scores/target/{id_}_target.xml",
-            "pred_midi": f"{results_dir}/midi/pred/{id_}_pred.mid",
-            "target_midi": f"{results_dir}/midi/target/{id_}_target.mid",
-            "mv2h": f"{results_dir}/mv2h/{id_}_mv2h.json",
-        }
-        if os.path.exists(paths["mv2h"]):
-            continue
-        result = _load_json(os.path.join(split_dir, result_file))
-        try:
-            export_target(result["pred"], paths["pred_xml"],
-                          paths["pred_midi"])
-            with open(result["target_path"], "rb") as f:
-                target = pickle.load(f)
-            export_target(target, paths["target_xml"], paths["target_midi"])
-        except Exception:
-            errors.append(id_)
-            continue
-        metrics = run_mv2h_pair(paths["target_midi"], paths["pred_midi"],
-                                mv2h_bin, timeout)
-        if metrics is None:
-            continue
-        if metrics.get("MV2H", 0) == 0:
-            errors.append(id_)
-            continue
-        with open(paths["mv2h"], "w") as f:
-            json.dump(metrics, f, indent=2)
+    result_files = [f for f in sorted(os.listdir(split_dir))
+                    if f.endswith(".json")]
+    if jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            outcomes = list(pool.map(
+                lambda f: _mv2h_one(results_dir, split_dir, f, mv2h_bin,
+                                    timeout), result_files))
+    else:
+        outcomes = [_mv2h_one(results_dir, split_dir, f, mv2h_bin, timeout)
+                    for f in result_files]
+    errors = [id_ for id_ in outcomes if id_ is not None]
     with open(os.path.join(results_dir, "errors.txt"), "w") as f:
         f.writelines(e + "\n" for e in errors)
     return errors

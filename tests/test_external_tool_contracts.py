@@ -307,6 +307,50 @@ def test_get_mv2h_from_test_end_to_end(fake_bin, tmp_path, monkeypatch):
     assert all("goodclip" not in c for c in calls_after[n_calls:])
 
 
+def test_get_mv2h_from_test_parallel_matches_serial(fake_bin, tmp_path,
+                                                    monkeypatch):
+    """jobs=4 produces byte-identical outcomes to the serial pass (same
+    metric JSONs, same errors.txt contents and ordering) — per-clip work
+    is independent, the pool only changes wall time."""
+    monkeypatch.setenv("FAKE_JAVA_ZERO_FOR", "zclip")
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    labels = LabelsMultiple(extended=True)
+    toks = labels.encode("4c 4c 4c 4c")
+    target = [[0, "4/4", toks, toks]]
+
+    def build(out):
+        for i in range(3):
+            _make_result_fixture(out, "test", f"clip{i}", target)
+        _make_result_fixture(out, "test", "zclip", target)
+        _make_result_fixture(out, "test", "brokenclip", target)
+        os.remove(os.path.join(out, "brokenclip_target.pkl"))
+
+    serial, parallel = str(tmp_path / "s"), str(tmp_path / "p")
+    build(serial)
+    build(parallel)
+    # Generous timeout: each fake-java call is milliseconds of work, but
+    # concurrent Python-interpreter startups on a loaded single-core CI
+    # host can take tens of seconds — a tight timeout turns MV2H
+    # timeouts into silent skips (the reference contract) and fails the
+    # equality below for environmental reasons.
+    err_s = get_mv2h_from_test(serial, "test", "/opt/MV2H/bin", timeout=600)
+    err_p = get_mv2h_from_test(parallel, "test", "/opt/MV2H/bin",
+                               timeout=600, jobs=3)
+    assert err_p == err_s
+    with open(os.path.join(serial, "results", "errors.txt")) as f:
+        errors_txt_s = f.read()
+    with open(os.path.join(parallel, "results", "errors.txt")) as f:
+        assert f.read() == errors_txt_s
+    mv2h_s = sorted(os.listdir(os.path.join(serial, "results", "mv2h")))
+    mv2h_p = sorted(os.listdir(os.path.join(parallel, "results", "mv2h")))
+    assert mv2h_p == mv2h_s == [f"clip{i}_mv2h.json" for i in range(3)]
+    for name in mv2h_s:
+        with open(os.path.join(serial, "results", "mv2h", name)) as f:
+            a = json.load(f)
+        with open(os.path.join(parallel, "results", "mv2h", name)) as f:
+            assert json.load(f) == a
+
+
 # ---------------------------------------------------------------------------
 # verovio wrapper (convert_xml_to_kern, xml_to_midi score path)
 # ---------------------------------------------------------------------------
