@@ -175,23 +175,30 @@ def write_corpus(feature_folder: str, split: str, n_songs: int,
     """Generate one split/version folder; returns #songs written.
     frontend='oracle' uses the librosa-algorithm multirate VQT (what the
     reference's pipeline would produce); 'direct' uses ops/vqt.py's
-    full-rate host twin."""
+    full-rate host twin; 'none' skips spectrograms entirely (audio-input
+    training — `input_features: audio` — reads only audio/, and the host
+    oracle VQT dominates generation time for large corpora)."""
     from ..ops.vqt import VQTConfig, get_vqt_host
     from ..ops.vqt_oracle import get_vqt_librosa_host
     cfg = VQTConfig(sample_rate=sr)
-    vqt = (get_vqt_librosa_host if frontend == "oracle" else get_vqt_host)
+    if frontend == "none" and not save_audio:
+        raise ValueError("frontend='none' with save_audio=False would "
+                         "write no features at all")
+    vqt = {"oracle": get_vqt_librosa_host, "direct": get_vqt_host,
+           "none": None}[frontend]
     rng = np.random.RandomState(seed)
     base = os.path.join(feature_folder, split, str(version))
-    subs = ["spectrogram", "target", "info"] + (["audio"] if save_audio
-                                                else [])
+    subs = ["target", "info"] + (["spectrogram"] if vqt else []) \
+        + (["audio"] if save_audio else [])
     for sub in subs:
         os.makedirs(os.path.join(base, sub), exist_ok=True)
     for s in range(n_songs):
         chunk = f"syn{seed}_{s:03d}"
         name = f"{chunk}~v0~Upright"
         target, audio = make_song(rng, n_bars=n_bars)
-        spec = np.asarray(vqt(audio, cfg), np.float32)[:max_frame_num]
-        np.save(os.path.join(base, "spectrogram", f"{name}.npy"), spec)
+        if vqt:
+            spec = np.asarray(vqt(audio, cfg), np.float32)[:max_frame_num]
+            np.save(os.path.join(base, "spectrogram", f"{name}.npy"), spec)
         with open(os.path.join(base, "target", f"{chunk}.pkl"), "wb") as f:
             pickle.dump(target, f)
         with open(os.path.join(base, "info", f"{chunk}.json"), "w") as f:
@@ -210,6 +217,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bars", type=int, default=5)
     ap.add_argument("--no-audio", action="store_true")
+    ap.add_argument("--frontend", default="oracle",
+                    choices=["oracle", "direct", "none"],
+                    help="spectrogram source; 'none' writes audio/targets "
+                         "only (enough for input_features: audio training "
+                         "and ~10x faster to generate)")
     args = ap.parse_args(argv)
     for i, part in enumerate(args.splits.split(",")):
         split, n = part.split(":")
@@ -217,7 +229,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         # songs for train/valid/test (no held-out data at all).
         n = write_corpus(args.root, split, int(n),
                          seed=args.seed + 7919 * (i + 1),
-                         n_bars=args.bars, save_audio=not args.no_audio)
+                         n_bars=args.bars, save_audio=not args.no_audio,
+                         frontend=args.frontend)
         print(f"{split}: {n} songs")
 
 
