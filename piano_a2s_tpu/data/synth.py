@@ -87,33 +87,57 @@ def _note_fraction(dur_token: str) -> float:
     return frac
 
 
+#: Rendering "timbre" — the per-version free parameters that stand in
+#: for the reference's 10 EPR/soundfont renderings of the same score
+#: (reference: render.py:235-272 maps each score over version folders).
+#: Defaults reproduce the original single-version sound exactly.
+DEFAULT_TIMBRE = {"detune_cents": 0.0, "decay": 0.35, "rolloff": 1.5,
+                  "n_harmonics": 5, "attack": 0.005}
+
+
+def version_timbre(rng: np.random.RandomState) -> dict:
+    """Draw one rendering variant: detuning, decay, brightness, attack.
+    Kept well inside the range where every note's fundamental still lands
+    on its VQT bin (detune <=12 cents vs the 20-cent bin spacing), so the
+    audio->token mapping stays learnable across versions."""
+    return {"detune_cents": float(rng.uniform(-8.0, 8.0)),
+            "decay": float(rng.uniform(0.22, 0.55)),
+            "rolloff": float(rng.uniform(1.15, 2.0)),
+            "n_harmonics": int(rng.randint(4, 8)),
+            "attack": float(rng.uniform(0.003, 0.012))}
+
+
 def synthesize_bar(bar_text: str, bar_seconds: float, sr: int,
-                   out: np.ndarray, offset_s: float) -> None:
+                   out: np.ndarray, offset_s: float,
+                   timbre: Optional[dict] = None) -> None:
     """Additively render one staff's bar into `out` (in place): damped
     harmonics per note, notes laid out sequentially and scaled to fill
-    the bar."""
+    the bar. `timbre` varies the rendering (see DEFAULT_TIMBRE)."""
+    tb = {**DEFAULT_TIMBRE, **(timbre or {})}
     notes = _NOTE_RE.findall(bar_text)
     if not notes:
         return
     fracs = [_note_fraction(d) for d, _ in notes]
     scale = bar_seconds / sum(fracs)
     t0 = offset_s
+    detune = 2.0 ** (tb["detune_cents"] / 1200.0)
     for (dur, pitch), frac in zip(notes, fracs):
         seconds = frac * scale
         if pitch != "r":
             midi = kern_to_midi(pitch)
-            f0 = 440.0 * 2.0 ** ((midi - 69) / 12.0)
+            f0 = 440.0 * 2.0 ** ((midi - 69) / 12.0) * detune
             n = int(seconds * sr)
             start = int(t0 * sr)
             n = min(n, len(out) - start)
             if n > 0:
                 t = np.arange(n) / sr
-                env = np.exp(-t / 0.35) * np.minimum(t / 0.005, 1.0)
+                env = (np.exp(-t / tb["decay"])
+                       * np.minimum(t / tb["attack"], 1.0))
                 tone = np.zeros(n)
-                for h in range(1, 6):
+                for h in range(1, tb["n_harmonics"] + 1):
                     fh = f0 * h
                     if fh < sr / 2:
-                        tone += np.sin(2 * np.pi * fh * t) / h ** 1.5
+                        tone += np.sin(2 * np.pi * fh * t) / h ** tb["rolloff"]
                 out[start:start + n] += 0.2 * env * tone
         t0 += seconds
 
@@ -121,10 +145,14 @@ def synthesize_bar(bar_text: str, bar_seconds: float, sr: int,
 def synthesize_target_audio(target: List[list], sr: int = 16000,
                             clip_seconds: float = 11.8,
                             bar_texts: Optional[List[Tuple[str, str]]]
-                            = None) -> np.ndarray:
+                            = None,
+                            timbre: Optional[dict] = None) -> np.ndarray:
     """Render a target structure's bars to mono audio. `bar_texts` gives
     (upper_text, lower_text) per bar; without it the token ids are decoded
-    back to text first (the mapping is the decode of the target)."""
+    back to text first (the mapping is the decode of the target).
+    `timbre` selects a rendering variant (multi-version corpora render the
+    SAME target several ways, like the reference's EPR/soundfont
+    versions)."""
     labels = LabelsMultiple(extended=True)
     n_bars = len(target)
     bar_seconds = clip_seconds / n_bars
@@ -135,12 +163,31 @@ def synthesize_target_audio(target: List[list], sr: int = 16000,
         else:
             up_text = "".join(labels.decode(measure[3]))
             low_text = "".join(labels.decode(measure[2]))
-        synthesize_bar(up_text, bar_seconds, sr, out, i * bar_seconds)
-        synthesize_bar(low_text, bar_seconds, sr, out, i * bar_seconds)
+        synthesize_bar(up_text, bar_seconds, sr, out, i * bar_seconds,
+                       timbre)
+        synthesize_bar(low_text, bar_seconds, sr, out, i * bar_seconds,
+                       timbre)
     peak = np.abs(out).max()
     if peak > 0:
         out *= 0.7 / peak
     return out.astype(np.float32)
+
+
+def draw_song(rng: np.random.RandomState, n_bars: int = 5,
+              upper_notes=(4, 9), lower_notes=(3, 6)):
+    """Draw one song's symbolic content only: (target, bar_texts).
+    Rendering is separate so multi-version corpora can render the SAME
+    target several ways (make_song = draw_song + one default render)."""
+    labels = LabelsMultiple(extended=True)
+    key = int(rng.randint(-6, 8))
+    ts = "4/4"
+    target, texts = [], []
+    for _ in range(n_bars):
+        up = random_bar_text(rng, "upper", upper_notes, key=key)
+        low = random_bar_text(rng, "lower", lower_notes, key=key)
+        target.append([key, ts, labels.encode(low), labels.encode(up)])
+        texts.append((up, low))
+    return target, texts
 
 
 def make_song(rng: np.random.RandomState, n_bars: int = 5,
@@ -155,29 +202,37 @@ def make_song(rng: np.random.RandomState, n_bars: int = 5,
     (F#/Gb) and +7/-5 (C#/Db) render identical pitch-class audio, so
     key_f1 saturates near ~0.86 — the measured 0.875 (DESIGN §10) is AT
     this corpus ceiling, not below a reachable 1.0."""
-    labels = LabelsMultiple(extended=True)
-    key = int(rng.randint(-6, 8))
-    ts = "4/4"
-    target, texts = [], []
-    for _ in range(n_bars):
-        up = random_bar_text(rng, "upper", upper_notes, key=key)
-        low = random_bar_text(rng, "lower", lower_notes, key=key)
-        target.append([key, ts, labels.encode(low), labels.encode(up)])
-        texts.append((up, low))
+    target, texts = draw_song(rng, n_bars, upper_notes, lower_notes)
     audio = synthesize_target_audio(target, bar_texts=texts)
     return target, audio
+
+
+#: Pseudo-soundfont names per version index (the ~{font} name suffix the
+#: datasets/summaries parse; reference: render.py:274-319's soundfonts).
+_VERSION_FONTS = ["Upright", "Salamander", "YDP", "Grand", "Bright"]
 
 
 def write_corpus(feature_folder: str, split: str, n_songs: int,
                  version: int = 0, seed: int = 0, n_bars: int = 5,
                  sr: int = 16000, max_frame_num: int = 1201,
-                 save_audio: bool = True, frontend: str = "oracle") -> int:
-    """Generate one split/version folder; returns #songs written.
+                 save_audio: bool = True, frontend: str = "oracle",
+                 versions: Optional[Sequence[int]] = None,
+                 style_mix: bool = False) -> int:
+    """Generate one split's feature folders; returns #songs written.
+
     frontend='oracle' uses the librosa-algorithm multirate VQT (what the
     reference's pipeline would produce); 'direct' uses ops/vqt.py's
     full-rate host twin; 'none' skips spectrograms entirely (audio-input
     training — `input_features: audio` — reads only audio/, and the host
-    oracle VQT dominates generation time for large corpora)."""
+    oracle VQT dominates generation time for large corpora).
+
+    `versions` renders EVERY song once per version: identical targets,
+    different timbre/tempo per version (version_timbre) — the synth
+    counterpart of the reference's 10 renderings per score that
+    SyntheticTrainDataset's random-version sampling expects
+    (reference: render.py:235-272, syn.py:88-121). `style_mix`
+    capitalizes half the chunk names so both result styles ("pop" /
+    "classical", harness style = chunk[0].islower()) appear."""
     from ..ops.vqt import VQTConfig, get_vqt_host
     from ..ops.vqt_oracle import get_vqt_librosa_host
     cfg = VQTConfig(sample_rate=sr)
@@ -186,26 +241,64 @@ def write_corpus(feature_folder: str, split: str, n_songs: int,
                          "write no features at all")
     vqt = {"oracle": get_vqt_librosa_host, "direct": get_vqt_host,
            "none": None}[frontend]
-    rng = np.random.RandomState(seed)
-    base = os.path.join(feature_folder, split, str(version))
     subs = ["target", "info"] + (["spectrogram"] if vqt else []) \
         + (["audio"] if save_audio else [])
-    for sub in subs:
-        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    if versions is None:
+        # Single-version path: byte-identical to the pre-multi-version
+        # generator (one sequential RNG stream drives draw + render).
+        rng = np.random.RandomState(seed)
+        base = os.path.join(feature_folder, split, str(version))
+        for sub in subs:
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        for s in range(n_songs):
+            chunk = f"syn{seed}_{s:03d}"
+            name = f"{chunk}~v0~Upright"
+            target, audio = make_song(rng, n_bars=n_bars)
+            _write_song(base, chunk, name, target, audio, vqt, cfg,
+                        max_frame_num, save_audio, n_bars)
+        return n_songs
+
+    bases = {}
+    for v in versions:
+        base = os.path.join(feature_folder, split, str(v))
+        for sub in subs:
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        bases[v] = base
     for s in range(n_songs):
+        # Per-song RNG: the target is a function of (seed, s) alone, so
+        # every version carries the SAME symbolic content.
+        song_rng = np.random.RandomState((seed * 100003 + s) % (2 ** 31))
+        target, texts = draw_song(song_rng, n_bars=n_bars)
         chunk = f"syn{seed}_{s:03d}"
-        name = f"{chunk}~v0~Upright"
-        target, audio = make_song(rng, n_bars=n_bars)
-        if vqt:
-            spec = np.asarray(vqt(audio, cfg), np.float32)[:max_frame_num]
-            np.save(os.path.join(base, "spectrogram", f"{name}.npy"), spec)
-        with open(os.path.join(base, "target", f"{chunk}.pkl"), "wb") as f:
-            pickle.dump(target, f)
-        with open(os.path.join(base, "info", f"{chunk}.json"), "w") as f:
-            json.dump({"composer": "synth", "n_bars": n_bars}, f)
-        if save_audio:
-            np.save(os.path.join(base, "audio", f"{name}.npy"), audio)
+        if style_mix and s % 2:
+            chunk = chunk.capitalize()  # "Syn..." -> pop style
+        for v in versions:
+            tim_rng = np.random.RandomState(
+                ((seed * 100003 + s) * 31 + 7 * v + 1) % (2 ** 31))
+            timbre = version_timbre(tim_rng)
+            clip_seconds = float(tim_rng.uniform(10.2, 11.8))
+            audio = synthesize_target_audio(
+                target, sr=sr, clip_seconds=clip_seconds, bar_texts=texts,
+                timbre=timbre)
+            font = _VERSION_FONTS[v % len(_VERSION_FONTS)]
+            name = f"{chunk}~v{v}~{font}"
+            _write_song(bases[v], chunk, name, target, audio, vqt, cfg,
+                        max_frame_num, save_audio, n_bars)
     return n_songs
+
+
+def _write_song(base, chunk, name, target, audio, vqt, cfg,
+                max_frame_num, save_audio, n_bars):
+    if vqt:
+        spec = np.asarray(vqt(audio, cfg), np.float32)[:max_frame_num]
+        np.save(os.path.join(base, "spectrogram", f"{name}.npy"), spec)
+    with open(os.path.join(base, "target", f"{chunk}.pkl"), "wb") as f:
+        pickle.dump(target, f)
+    with open(os.path.join(base, "info", f"{chunk}.json"), "w") as f:
+        json.dump({"composer": "synth", "n_bars": n_bars}, f)
+    if save_audio:
+        np.save(os.path.join(base, "audio", f"{name}.npy"), audio)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -222,16 +315,29 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="spectrogram source; 'none' writes audio/targets "
                          "only (enough for input_features: audio training "
                          "and ~10x faster to generate)")
+    ap.add_argument("--train-versions", type=int, default=1,
+                    help="render each TRAIN song this many times with "
+                         "distinct timbre/tempo (versions 0..N-1); valid/"
+                         "test stay single-version like the reference's "
+                         "score-MIDI splits")
+    ap.add_argument("--style-mix", action="store_true",
+                    help="capitalize half the chunk names so both result "
+                         "styles (pop/classical) appear")
     args = ap.parse_args(argv)
     for i, part in enumerate(args.splits.split(",")):
         split, n = part.split(":")
+        versions = (list(range(args.train_versions))
+                    if split == "train" and args.train_versions > 1
+                    else None)
         # Distinct seed per split — the same seed would draw IDENTICAL
         # songs for train/valid/test (no held-out data at all).
         n = write_corpus(args.root, split, int(n),
                          seed=args.seed + 7919 * (i + 1),
                          n_bars=args.bars, save_audio=not args.no_audio,
-                         frontend=args.frontend)
-        print(f"{split}: {n} songs")
+                         frontend=args.frontend, versions=versions,
+                         style_mix=args.style_mix)
+        print(f"{split}: {n} songs" + (
+            f" x {args.train_versions} versions" if versions else ""))
 
 
 if __name__ == "__main__":

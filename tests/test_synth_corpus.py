@@ -55,6 +55,43 @@ def test_synthesize_from_tokens_matches_text_path():
     np.testing.assert_allclose(audio, audio2, atol=1e-6)
 
 
+def test_write_corpus_multiversion(tmp_path):
+    """Multi-version corpora: identical targets per song across versions,
+    distinct audio renderings (timbre/tempo), per-version fonts in the
+    names, style-mixed chunk casing — the layout SyntheticTrainDataset's
+    random-version sampling consumes."""
+    root = str(tmp_path / "features")
+    n = write_corpus(root, "train", 4, seed=9, n_bars=2, frontend="none",
+                     versions=[0, 1, 2], style_mix=True)
+    assert n == 4
+    targets, audios = [], []
+    for v in range(3):
+        base = os.path.join(root, "train", str(v))
+        names = sorted(os.listdir(os.path.join(base, "audio")))
+        assert len(names) == 4
+        # casing mix: half pop (upper), half classical (lower)
+        chunks = [nm.split("~")[0] for nm in names]
+        assert sum(c[0].isupper() for c in chunks) == 2
+        assert all(nm.split("~")[1] == f"v{v}" for nm in names)
+        with open(os.path.join(base, "target", chunks[0] + ".pkl"),
+                  "rb") as f:
+            targets.append(pickle.load(f))
+        audios.append(np.load(os.path.join(base, "audio", names[0])))
+    assert targets[0] == targets[1] == targets[2]  # same symbolic content
+    # renderings genuinely differ (timbre + clip length)
+    assert not (len(audios[0]) == len(audios[1])
+                and np.allclose(audios[0], audios[1]))
+
+    from piano_a2s_tpu.data import SyntheticTrainDataset
+    ds = SyntheticTrainDataset(root, "train", versions=[0, 1, 2],
+                               max_length=(64, 64),
+                               input_features="audio",
+                               rng=np.random.RandomState(0))
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["audio"].ndim == 1 and item["upper"].shape == (2, 64)
+
+
 def test_write_corpus_loads_and_trains(tmp_path):
     root = str(tmp_path / "features")
     n = write_corpus(root, "train", 3, seed=5, n_bars=2,
