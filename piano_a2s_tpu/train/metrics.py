@@ -52,8 +52,19 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
 
 
 def word_error_rate(truth: str, hypothesis: str) -> float:
-    """jiwer.wer-compatible: S+D+I over reference length, words split on
-    single spaces."""
+    """jiwer.wer-compatible: (S+D+I) / reference length.
+
+    Matches jiwer's default transformation chain exactly on its defined
+    domain: RemoveMultipleSpaces + Strip + split on single spaces (_words
+    drops empty fields, which is the same thing); non-space whitespace
+    like the bar-join's "\\n" stays a word of its own; WER may exceed 1.0
+    (insertions). One documented DIVERGENCE: jiwer raises ValueError when
+    the reference reduces to zero words — we return the insertion count
+    (len(hyp)) instead of crashing mid-epoch. calculate_wer's references
+    are non-empty whenever a clip has >=2 bars (the " \\n = \\n " join
+    contributes "=" words), so the reference's jiwer call never hits this
+    in practice (reference: pretrain.py:216-227); pinned in
+    tests/test_train_components.py::test_wer_jiwer_edge_semantics."""
     ref, hyp = _words(truth), _words(hypothesis)
     if not ref:
         return 0.0 if not hyp else float(len(hyp))

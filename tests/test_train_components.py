@@ -42,6 +42,93 @@ def test_edit_distance_and_wer():
     assert word_error_rate("a \n = \n b", "a \n = \n b") == 0.0
 
 
+def _naive_levenshtein(ref, hyp):
+    """Textbook O(nm) DP — the ground truth the vectorized rows must match."""
+    n, m = len(ref), len(hyp)
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + (ref[i - 1] != hyp[j - 1]))
+    return d[n][m]
+
+
+def test_edit_distance_property_vs_naive_dp():
+    """The vectorized DP equals the textbook DP on random token strings —
+    including repeated tokens, empty sides, and highly-similar pairs."""
+    rng = np.random.RandomState(7)
+    vocab = [f"t{i}" for i in range(6)]  # small vocab -> many repeats
+    for _ in range(200):
+        n, m = rng.randint(0, 25), rng.randint(0, 25)
+        ref = [vocab[i] for i in rng.randint(0, len(vocab), n)]
+        if rng.rand() < 0.5 and n:
+            # mutated copy: realistic near-miss hypothesis
+            hyp = list(ref)
+            for _ in range(rng.randint(0, 4)):
+                op = rng.randint(3)
+                if op == 1:
+                    hyp.insert(rng.randint(len(hyp) + 1),
+                               vocab[rng.randint(len(vocab))])
+                elif hyp:
+                    pos = rng.randint(len(hyp))
+                    if op == 0:
+                        hyp[pos] = vocab[rng.randint(len(vocab))]
+                    else:
+                        hyp.pop(pos)
+        else:
+            hyp = [vocab[i] for i in rng.randint(0, len(vocab), m)]
+        assert edit_distance(ref, hyp) == _naive_levenshtein(ref, hyp), \
+            (ref, hyp)
+
+
+def test_wer_jiwer_edge_semantics():
+    """Pins word_error_rate to jiwer's documented default-transform
+    algorithm (RemoveMultipleSpaces + Strip + split on ' '; WER =
+    (S+D+I)/N) on the edges the reference's eval loop can produce
+    (reference: pretrain.py:216-227). Each expected value is derived
+    from jiwer's documented behavior."""
+    # multiple spaces reduce; leading/trailing strip
+    assert word_error_rate("a  b   c", "a b c") == 0.0
+    assert word_error_rate("  a b  ", "a b") == 0.0
+    # non-space whitespace is word content, not a delimiter: the bar-join
+    # contributes "\n" and "=" words
+    assert word_error_rate("a \n = \n b", "a \n = \n c") == 1 / 5
+    # a one-bar clip whose bar decodes empty vs a 3-token hypothesis:
+    # jiwer would raise ValueError on the empty reference; we return the
+    # insertion count instead (documented divergence in word_error_rate)
+    assert word_error_rate("", "x y z") == 3.0
+    assert word_error_rate("", "") == 0.0
+    assert word_error_rate("   ", "x") == 1.0
+    # >=2 bars can never yield an empty reference: the join supplies "="
+    empty_bars = " \n = \n ".join(["", ""])
+    assert _naive_levenshtein(["\n", "=", "\n"], []) == 3
+    assert word_error_rate(empty_bars, "") == 1.0  # 3 deletions / N=3
+    # WER above 1.0 (insertion-heavy hypothesis) — jiwer semantics
+    assert word_error_rate("a", "a b c d") == 3.0
+    # deletion-only: D/N
+    assert word_error_rate("a b c d", "") == 1.0
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("jiwer")
+    is None, reason="jiwer not installed")
+def test_wer_matches_real_jiwer():
+    """If the real jiwer is ever present, cross-check directly (stays
+    inside jiwer's defined domain: non-empty references/hypotheses)."""
+    import jiwer
+    rng = np.random.RandomState(3)
+    vocab = ["4", "c", "dd", "8", "r", "\n", "="]
+    for _ in range(50):
+        ref = " ".join(vocab[i] for i in rng.randint(0, 7, rng.randint(1, 30)))
+        hyp = " ".join(vocab[i] for i in rng.randint(0, 7, rng.randint(1, 30)))
+        np.testing.assert_allclose(word_error_rate(ref, hyp),
+                                   jiwer.wer(ref, hyp), rtol=1e-12)
+
+
 def test_macro_f1_matches_sklearn():
     from sklearn.metrics import f1_score
     rng = np.random.RandomState(1)
