@@ -166,9 +166,13 @@ def init_state(cfg: ModelConfig = ModelConfig()) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def conv_stack_apply(params, state, x: jnp.ndarray, train: bool,
-                     rng, compute_dtype=None
+                     rng, compute_dtype=None, sample_weight=None
                      ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """x: (B, 1, T, F) -> (B, T, conv_feature_size). NHWC internally.
+
+    sample_weight (train only; (B,) 0/1): masks the final batch's padding
+    duplicates out of the BatchNorm batch statistics — see
+    ops.layers.batch_norm. None (every parity/bench path) is unchanged.
 
     Inference folds each BatchNorm (running stats = a per-channel affine)
     into the preceding conv's weights / the flatten linear's weights:
@@ -229,7 +233,7 @@ def conv_stack_apply(params, state, x: jnp.ndarray, train: bool,
         # activation dtype. The casts fuse with the adjacent elementwise
         # chain, so no full-resolution f32 tensor is materialized.
         out, ns = L.batch_norm(bn_p, bn_s, v.astype(fdt), axes=axes,
-                               train=train)
+                               train=train, weight=sample_weight)
         return out.astype(v.dtype), ns
 
     for i, ch in zip((1, 2, 3, 4), (20, 20, 40, 40)):
@@ -701,7 +705,8 @@ def pick_decode_chunk(decode_chunk, batch: int, decode_dtype=None):
 def forward(params, state, spectrogram: jnp.ndarray, rng,
             cfg: ModelConfig = ModelConfig(), train: bool = False,
             ground_truth=None, tf_ratio=0.0, decode_dtype=None,
-            emit_full: bool = True, conv_dtype=None, decode_chunk=None):
+            emit_full: bool = True, conv_dtype=None, decode_chunk=None,
+            sample_weight=None):
     """Full model forward.
 
     spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
@@ -747,7 +752,8 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
         compute_dtype = conv_dtype
     feats, new_conv_state = conv_stack_apply(
         params["convstack"], state["convstack"], conv_x, train, k_conv,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype,
+        sample_weight=sample_weight if train else None)
     # bf16 frontend output promotes back to f32 for the encoder; f32/f64
     # pass through unchanged (x64 parity runs stay f64).
     feats = feats.astype(jnp.promote_types(feats.dtype, jnp.float32))

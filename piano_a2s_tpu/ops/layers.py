@@ -79,14 +79,44 @@ def init_bn_state(ch: int) -> Dict[str, jnp.ndarray]:
 
 
 def batch_norm(params, state, x: jnp.ndarray, axes: Tuple[int, ...],
-               train: bool):
+               train: bool, weight=None):
     """BatchNorm over `axes` with torch semantics.
 
     Training normalizes by the biased batch variance and updates running
     stats with the unbiased variance; eval uses running stats.
     Returns (y, new_state).
+
+    `weight` (train only; shape (B,), axis 0 must be in `axes`) weights
+    each batch element's contribution to the BATCH STATISTICS — with 0/1
+    weights this computes the statistics of the real rows only, so the
+    final batch's padding duplicates (train/harness.py sample_weight)
+    stop biasing train-mode normalization and the running stats. An
+    all-zero weight vector (a fully-padded gradient-accumulation
+    microbatch) falls back to unweighted statistics: those rows'
+    activations are zero-weighted in the loss anyway, but 0/0 statistics
+    would turn them into NaNs that poison the loss SUM.
     """
-    if train:
+    if train and weight is not None:
+        w_sum = jnp.sum(weight)
+        w = jnp.where(w_sum > 0, weight,
+                      jnp.ones_like(weight)).astype(x.dtype)
+        wx = w.reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+        per_row = 1
+        for a in axes:
+            if a != 0:
+                per_row *= x.shape[a]
+        # n counts the rows actually contributing: sum(w) AFTER the
+        # all-zero fallback (== w_sum normally, == B when falling back).
+        n = jnp.sum(w) * per_row
+        mean = jnp.sum(x * wx, axis=axes) / n
+        shape_m = [1 if i in axes else x.shape[i] for i in range(x.ndim)]
+        var = jnp.sum(wx * (x - mean.reshape(shape_m)) ** 2, axis=axes) / n
+        unbiased = var * (n / jnp.maximum(n - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    elif train:
         mean = jnp.mean(x, axis=axes)
         var = jnp.var(x, axis=axes)
         n = x.size // mean.size

@@ -220,10 +220,9 @@ class Trainer:
             if dev[k].dtype != self.upload_dtype:
                 dev[k] = _stage_cast(self.upload_dtype, k)({k: dev[k]})[k]
         # Zero-weight the final batch's padding duplicates so they add
-        # nothing to losses/gradients (shapes stay static & mesh-divisible).
-        # Known approximation: duplicates still enter train-mode BatchNorm
-        # batch statistics (weighted BN is not worth the plumbing for one
-        # short batch per epoch).
+        # nothing to losses/gradients (shapes stay static & mesh-divisible)
+        # and are masked out of train-mode BatchNorm batch statistics
+        # (ops/layers.batch_norm weighted stats).
         b = len(batch["names"])
         n_real = int(batch.get("n_real", b))
         weights = np.zeros(b, np.float32)

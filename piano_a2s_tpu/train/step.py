@@ -123,7 +123,8 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
         outs, new_state = forward(
             p, state, batch["spectrogram"], rng, cfg=cfg, train=True,
             ground_truth=_ground_truth(batch), tf_ratio=tf_ratio,
-            emit_full=False, conv_dtype=conv_dtype)
+            emit_full=False, conv_dtype=conv_dtype,
+            sample_weight=batch.get("sample_weight"))
         loss, comps = transcription_loss_fused(
             outs, batch, cfg.pad,
             sample_weight=batch.get("sample_weight"))
@@ -190,7 +191,8 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
         outs, new_st = forward(
             p, state, mb["spectrogram"], key, cfg=cfg, train=True,
             ground_truth=_ground_truth(mb), tf_ratio=tf_ratio,
-            emit_full=False, conv_dtype=conv_dtype)
+            emit_full=False, conv_dtype=conv_dtype,
+            sample_weight=mb.get("sample_weight"))
         nums = fused_component_sums(outs, mb, cfg.pad,
                                     sample_weight=mb.get("sample_weight"))
         loss_mb = sum(nums[k] / totals[k] for k in sorted(nums))
