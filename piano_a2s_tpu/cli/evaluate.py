@@ -29,6 +29,12 @@ def main(argv=None):
                         default="./MUSTER/evaluate_XML_voicePlus.sh",
                         metavar="SCRIPT",
                         help="path to MUSTER's evaluate_XML_voicePlus.sh")
+    parser.add_argument("--mv2h-engine", default="auto",
+                        choices=["auto", "java", "native"],
+                        help="MV2H scorer: the canonical Java tool or the "
+                             "native implementation (train/mv2h.py). "
+                             "'auto' uses java when it and the mv2h_bin "
+                             "classpath are present, else native")
     parser.add_argument("--jobs", type=int, default=1,
                         help="concurrent MV2H workers (each clip's export "
                              "+ Java run is independent; the reference "
@@ -38,8 +44,8 @@ def main(argv=None):
 
     from piano_a2s_tpu.config import load_experiment
     from piano_a2s_tpu.train.evaluate_offline import (
-        get_muster_er, get_mv2h_from_test, summarize_asap_mv2h,
-        summarize_syn_mv2h, summarize_wer_and_f1)
+        get_muster_er, get_mv2h_from_test, mv2h_engine,
+        summarize_asap_mv2h, summarize_syn_mv2h, summarize_wer_and_f1)
 
     exp = load_experiment(args.hparams, args.overrides)
     folders = [f for f in (exp.pretrained_output_folder, exp.output_folder)
@@ -48,30 +54,30 @@ def main(argv=None):
         print("no results folders found; run pretrain/finetune first")
         return 1
 
-    have_java = shutil.which("java") is not None
+    engine = (args.mv2h_engine if args.mv2h_engine != "auto"
+              else mv2h_engine(exp.mv2h_bin))
+    if engine == "native":
+        print("MV2H engine: native scorer (java + MV2H classpath not "
+              "found; train/mv2h.py implements the published algorithm — "
+              "the Java tool remains canonical when present)")
     for folder in folders:
         metrics, n = summarize_wer_and_f1(folder, args.split)
         print(f"{folder}: WER/F1 over {n} clips: "
               f"{ {k: round(v, 4) for k, v in metrics.items()} }")
-        if have_java and exp.mv2h_bin and os.path.exists(exp.mv2h_bin):
-            # 10 s/pair is the reference's contract (evaluate.py:40-60);
-            # mv2h_timeout raises it for slow/loaded hosts.
-            timeout = float(exp.extras.get("mv2h_timeout", 10.0))
-            errors = get_mv2h_from_test(folder, args.split, exp.mv2h_bin,
-                                        timeout=timeout, jobs=args.jobs)
-            print(f"{folder}: MV2H export errors: {len(errors)}")
-            if folder == exp.output_folder and "asap" in exp.feature_folder:
-                m, four, n = summarize_asap_mv2h(folder, split=args.split)
-            else:
-                m, four, n = summarize_syn_mv2h(folder, split=args.split)
-            print(f"{folder}: MV2H over {n} clips: "
-                  f"{ {k: round(v, 4) for k, v in m.items()} }, "
-                  f"4-way mean {four:.4f}")
-        elif not have_java:
-            print("java not available: skipping MV2H (WER/F1 only)")
+        # 10 s/pair is the reference's contract (evaluate.py:40-60);
+        # mv2h_timeout raises it for slow/loaded hosts.
+        timeout = float(exp.extras.get("mv2h_timeout", 10.0))
+        errors = get_mv2h_from_test(folder, args.split, exp.mv2h_bin,
+                                    timeout=timeout, jobs=args.jobs,
+                                    engine=engine)
+        print(f"{folder}: MV2H export errors: {len(errors)}")
+        if folder == exp.output_folder and "asap" in exp.feature_folder:
+            m, four, n = summarize_asap_mv2h(folder, split=args.split)
         else:
-            print(f"MV2H tool not found (mv2h_bin={exp.mv2h_bin!r}): "
-                  "skipping MV2H (WER/F1 only)")
+            m, four, n = summarize_syn_mv2h(folder, split=args.split)
+        print(f"{folder}: MV2H ({engine}) over {n} clips: "
+              f"{ {k: round(v, 4) for k, v in m.items()} }, "
+              f"4-way mean {four:.4f}")
         if args.muster:
             if not (os.path.exists(args.muster_script)
                     or shutil.which(args.muster_script)):

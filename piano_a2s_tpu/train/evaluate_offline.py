@@ -1,10 +1,14 @@
 """Offline evaluation pipeline: MV2H + MUSTER + WER/F1 summaries.
 
 Port of the reference's evaluate.py with our self-contained score export
-(reference: evaluate.py:10-172). The MV2H Java tool and the MUSTER shell
-script remain external — they ARE the benchmark — and are invoked behind
-the same shell contract (scripts/evaluate_midi_mv2h.sh); everything up to
-the MIDI files (token decode, tie repair, MusicXML/MIDI writing) is native.
+(reference: evaluate.py:10-172). The MV2H Java tool remains CANONICAL and
+is invoked behind the same shell contract (scripts/evaluate_midi_mv2h.sh)
+whenever java + the classpath are present; otherwise the native scorer
+(train/mv2h.py, the published MV2H algorithm) computes the same per-clip
+metric dict so the benchmark runs end-to-end on java-free hosts. The
+engine is chosen ONCE per evaluation (never mixed per clip: a run's
+averages must come from one scorer). Everything up to the MIDI files
+(token decode, tie repair, MusicXML/MIDI writing) is native either way.
 """
 
 from __future__ import annotations
@@ -53,8 +57,17 @@ def run_mv2h_pair(target_midi: str, pred_midi: str, mv2h_bin: str,
     return result
 
 
+def mv2h_engine(mv2h_bin: Optional[str]) -> str:
+    """'java' when the canonical tool can run (java on PATH and the MV2H
+    classpath exists), else 'native' (train/mv2h.py)."""
+    if mv2h_bin and shutil.which("java") and os.path.exists(mv2h_bin):
+        return "java"
+    return "native"
+
+
 def _mv2h_one(results_dir: str, split_dir: str, result_file: str,
-              mv2h_bin: str, timeout: float) -> Optional[str]:
+              mv2h_bin: str, timeout: float,
+              engine: str = "java") -> Optional[str]:
     """One clip's export + MV2H run. Returns the clip id on failure,
     None otherwise. Touches only files derived from this clip's id, so
     clips can run concurrently."""
@@ -77,8 +90,13 @@ def _mv2h_one(results_dir: str, split_dir: str, result_file: str,
         export_target(target, paths["target_xml"], paths["target_midi"])
     except Exception:
         return id_
-    metrics = run_mv2h_pair(paths["target_midi"], paths["pred_midi"],
-                            mv2h_bin, timeout)
+    if engine == "native":
+        from .mv2h import run_native_mv2h_pair
+        metrics = run_native_mv2h_pair(paths["target_midi"],
+                                       paths["pred_midi"])
+    else:
+        metrics = run_mv2h_pair(paths["target_midi"], paths["pred_midi"],
+                                mv2h_bin, timeout)
     if metrics is None:
         return None
     if metrics.get("MV2H", 0) == 0:
@@ -89,7 +107,8 @@ def _mv2h_one(results_dir: str, split_dir: str, result_file: str,
 
 
 def get_mv2h_from_test(output_folder: str, split: str, mv2h_bin: str,
-                       timeout: float = 10.0, jobs: int = 1) -> List[str]:
+                       timeout: float = 10.0, jobs: int = 1,
+                       engine: str = "java") -> List[str]:
     """Per result JSON: export pred & target scores to MusicXML/MIDI, run
     MV2H, save per-clip metric JSONs; failures recorded in errors.txt
     (reference: evaluate.py:10-65).
@@ -100,7 +119,10 @@ def get_mv2h_from_test(output_folder: str, split: str, mv2h_bin: str,
     runtime — so the wall time of a large evaluation drops ~linearly in
     `jobs` until the host's cores saturate on the export side. Outputs
     (per-clip JSONs, errors.txt ordering) are identical to the serial
-    pass; exists-check resumability is unchanged."""
+    pass; exists-check resumability is unchanged.
+
+    `engine` selects the scorer for the whole run: "java" (canonical) or
+    "native" (train/mv2h.py). Callers should pick via mv2h_engine()."""
     results_dir = os.path.join(output_folder, "results")
     for d in ("mv2h", "scores/pred", "scores/target", "midi/pred",
               "midi/target"):
@@ -113,9 +135,10 @@ def get_mv2h_from_test(output_folder: str, split: str, mv2h_bin: str,
         with ThreadPoolExecutor(max_workers=jobs) as pool:
             outcomes = list(pool.map(
                 lambda f: _mv2h_one(results_dir, split_dir, f, mv2h_bin,
-                                    timeout), result_files))
+                                    timeout, engine), result_files))
     else:
-        outcomes = [_mv2h_one(results_dir, split_dir, f, mv2h_bin, timeout)
+        outcomes = [_mv2h_one(results_dir, split_dir, f, mv2h_bin, timeout,
+                              engine)
                     for f in result_files]
     errors = [id_ for id_ in outcomes if id_ is not None]
     with open(os.path.join(results_dir, "errors.txt"), "w") as f:
