@@ -309,14 +309,14 @@ def _note_step(params, cfg: ModelConfig, enc, enc_proj, h, tok_emb,
     bytes while logits are promoted back to f32 for a stable log-softmax
     and argmax."""
     tok = L.dropout(key, tok_emb, 0.1, train)
-    context, _ = A.attention_step(params["attn"], enc_proj, enc, h)
+    context, weights = A.attention_step(params["attn"], enc_proj, enc, h)
     x = jnp.concatenate([tok, context], axis=-1)
     h = G.gru_step(params["gru"], x, h)
     out = L.linear(params["out"], jnp.concatenate([h, context], axis=-1))
     logp = jax.nn.log_softmax(
         out.astype(jnp.promote_types(out.dtype, jnp.float32)), axis=-1)
     pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-    return h, logp, pred
+    return h, logp, pred, weights
 
 
 def stack_staff_params(upper, lower):
@@ -348,15 +348,25 @@ def _dual_embed(dual_params, ids2: jnp.ndarray) -> jnp.ndarray:
 
 def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
                            h0, gt_up, gt_low, tf_ratio, train: bool, rng,
-                           emit_full: bool = True):
+                           emit_full: bool = True, ga_frac=None,
+                           ga_sigma: float = 0.15):
     """Teacher-forced decode of one bar for BOTH staves in one fixed-length
-    scan of max(T_up, T_low) steps. Returns per-staff (logp, tokens,
-    lengths).
+    scan of max(T_up, T_low) steps. Returns (upper, lower, ga_num) with
+    per-staff (logp, tokens, lengths).
 
     emit_full=False emits only the log-prob of the ground-truth token at
     each step ("picked" NLL inputs, shape (B, T)) instead of full (B, T, V)
     distributions — the full logits for one batch of 16 clips are 22 GB
     and only their gt-gather is needed for the training loss.
+
+    ga_frac=(bar_start_frac, bar_span_frac) turns on the guided-attention
+    penalty (opt-in training aid, OFF by default — see losses.py): for
+    step t of a bar whose ground truth has L tokens, the expected
+    attention center is bar_start + bar_span * (t+0.5)/L of the encoder
+    frames, and the penalty is the attention mass outside a Gaussian of
+    width `ga_sigma` (fractional) around it, summed over non-pad steps.
+    Accumulated INSIDE the scan (one fused multiply-add over (2,B,T_enc)
+    per step, nothing materialized); ga_num is (2, B) or None when off.
     """
     B = enc.shape[0]
     t_up, t_low = cfg.max_length
@@ -369,15 +379,32 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
     gt_xs = jnp.moveaxis(gt2, 2, 0)  # (T, 2, B)
     sos2 = _dual_embed(dual_params, jnp.full((2, B), cfg.sos, jnp.int32))
     step_keys = jax.random.split(rng, T * 4).reshape(T, 4, 2)
+    up_len = _note_lengths(jnp.asarray(gt_up) == cfg.eos, t_up)
+    low_len = _note_lengths(jnp.asarray(gt_low) == cfg.eos, t_low)
+    if ga_frac is not None:
+        len2 = jnp.stack([up_len, low_len]).astype(jnp.float32)  # (2, B)
+        f_frac = (jnp.arange(enc.shape[1], dtype=jnp.float32)
+                  / enc.shape[1])                                # (T_enc,)
+        bar_start, bar_span = ga_frac
 
     @jax.checkpoint  # remat: the (2,B,T_enc,H) attention energies would
     # otherwise be saved for EVERY step (~20 GB at full size, B=4);
     # recomputing them in the backward pass keeps activations ~step-sized.
     def body(carry, xs):
-        h2, tok2 = carry
-        keys, gt_t = xs  # keys (4, 2); gt_t (2, B)
-        h2, logp2, pred2 = _dual_step(dual_params, cfg, enc, enc_proj2,
-                                      h2, tok2, keys[:2], train)
+        h2, tok2, ga = carry
+        keys, gt_t, t_idx = xs  # keys (4, 2); gt_t (2, B); t_idx scalar
+        h2, logp2, pred2, w2 = _dual_step(dual_params, cfg, enc, enc_proj2,
+                                          h2, tok2, keys[:2], train)
+        if ga_frac is not None:
+            within = jnp.minimum((t_idx + 0.5) / jnp.maximum(len2, 1.0),
+                                 1.0)                       # (2, B)
+            phi = bar_start + bar_span * within             # (2, B)
+            guide = 1.0 - jnp.exp(
+                -((f_frac[None, None, :] - phi[..., None]) ** 2)
+                / (2.0 * ga_sigma ** 2))                    # (2, B, T_enc)
+            step_pen = jnp.sum(w2.astype(jnp.float32) * guide, axis=-1)
+            valid = (gt_t != cfg.pad).astype(jnp.float32)
+            ga = ga + step_pen * valid
         # One coin per staff per step, shared across the batch
         # (reference: models.py:404).
         coins = jax.vmap(jax.random.uniform)(keys[2:]) < tf_ratio
@@ -388,19 +415,20 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
         else:
             emitted = jnp.take_along_axis(logp2, gt_t[..., None],
                                           axis=-1)[..., 0]  # (2, B)
-        return (h2, tok2), (emitted, pred2)
+        return (h2, tok2, ga), (emitted, pred2)
 
     h0_2 = jnp.stack([h0, h0])
-    (_, _), (logps, preds) = jax.lax.scan(body, (h0_2, sos2),
-                                          (step_keys, gt_xs))
+    ga0 = jnp.zeros((2, B), jnp.float32)
+    (_, _, ga_num), (logps, preds) = jax.lax.scan(
+        body, (h0_2, sos2, ga0),
+        (step_keys, gt_xs, jnp.arange(T, dtype=jnp.float32)))
     # logps: (T, 2, B[, V]) -> per staff (B, T_staff[, V])
     up_logp = jnp.swapaxes(logps[:, 0], 0, 1)[:, :t_up]
     low_logp = jnp.swapaxes(logps[:, 1], 0, 1)[:, :t_low]
     up_tok = jnp.swapaxes(preds[:, 0], 0, 1)[:, :t_up]
     low_tok = jnp.swapaxes(preds[:, 1], 0, 1)[:, :t_low]
-    up_len = _note_lengths(jnp.asarray(gt_up) == cfg.eos, t_up)
-    low_len = _note_lengths(jnp.asarray(gt_low) == cfg.eos, t_low)
-    return (up_logp, up_tok, up_len), (low_logp, low_tok, low_len)
+    return ((up_logp, up_tok, up_len), (low_logp, low_tok, low_len),
+            ga_num if ga_frac is not None else None)
 
 
 def note_decoder_dual_infer(dual_params, cfg: ModelConfig, enc, enc_proj2,
@@ -546,7 +574,8 @@ def _mlp_head(head, x: jnp.ndarray) -> jnp.ndarray:
 def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
                                hidden: jnp.ndarray,
                                ground_truth, tf_ratio, train: bool, rng,
-                               decode_dtype=None, emit_full: bool = True):
+                               decode_dtype=None, emit_full: bool = True,
+                               ga_sigma: float = 0.0):
     """Decode max_bars bars. ground_truth is None (inference) or the tuple
     (time_sig (B,bars), key (B,bars), upper (B,bars,Tu), upper_len (B,bars),
     lower (B,bars,Tl), lower_len (B,bars)).
@@ -555,6 +584,11 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
     note-decoder loop's large operands (enc, attention projections, staff
     params) — halves the HBM traffic that bounds decode speed. Logits,
     softmaxes and emitted log-probs stay float32. None = full f32 (parity).
+
+    ga_sigma > 0 (training with ground truth only) turns on the
+    guided-attention penalty: bar j of max_bars is expected to attend to
+    frames [j, j+1]/max_bars, linearly in its token index (see
+    note_decoder_dual_scan). The aux dict gains "ga_num" (B, bars, 2).
     """
     dec = params["decoder"]
     B = enc.shape[0]
@@ -599,10 +633,12 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
             jnp.zeros((bars, B), jnp.int32))
 
     bar_keys = jax.random.split(rng, cfg.max_bars)
+    bar_idx = jnp.arange(cfg.max_bars, dtype=jnp.float32)
+    use_ga = ga_sigma > 0 and has_gt and train
 
     def bar_body(carry, xs):
         hidden, token = carry
-        key, (ts_t, key_t, up_t, up_len_t, low_t, low_len_t) = xs
+        key, j, (ts_t, key_t, up_t, up_len_t, low_t, low_len_t) = xs
         k_drop, k_coin, k_up, k_low = jax.random.split(key, 4)
 
         token = L.dropout(k_drop, token, 0.1, train)
@@ -613,14 +649,20 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
 
         bar_h0 = bar_summary.astype(enc_dec.dtype)
         if has_gt:
+            ga_frac = ((j / cfg.max_bars, 1.0 / cfg.max_bars)
+                       if use_ga else None)
             ((up_logp, up_tok, up_len),
-             (low_logp, low_tok, low_len)) = note_decoder_dual_scan(
+             (low_logp, low_tok, low_len), ga_num) = note_decoder_dual_scan(
                 dual_params, cfg, enc_dec, enc_proj2, bar_h0,
-                up_t, low_t, tf_ratio, train, k_up, emit_full=emit_full)
+                up_t, low_t, tf_ratio, train, k_up, emit_full=emit_full,
+                ga_frac=ga_frac, ga_sigma=ga_sigma)
         else:
             ((up_logp, up_tok, up_len),
              (low_logp, low_tok, low_len)) = note_decoder_dual_infer(
                 dual_params, cfg, enc_dec, enc_proj2, bar_h0)
+            ga_num = None
+        if ga_num is None:
+            ga_num = jnp.zeros((2, enc.shape[0]), jnp.float32)
         del k_low
 
         head_in = jnp.concatenate([bar_summary, context], axis=-1)
@@ -666,17 +708,21 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
 
         return ((hidden, token),
                 (ts_logp, key_logp, up_logp, low_logp,
-                 up_tok, low_tok, up_len, low_len))
+                 up_tok, low_tok, up_len, low_len, ga_num))
 
     (_, _), outs = jax.lax.scan(bar_body, (hidden, token0),
-                                (bar_keys, xs_gt))
-    ts_logp, key_logp, up_logp, low_logp, up_tok, low_tok, up_len, low_len \
-        = outs
+                                (bar_keys, bar_idx, xs_gt))
+    (ts_logp, key_logp, up_logp, low_logp, up_tok, low_tok, up_len,
+     low_len, ga_num) = outs
     # (bars, B, ...) -> (B, bars, ...)
     swap = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731
+    aux = {"upper_tokens": swap(up_tok), "lower_tokens": swap(low_tok),
+           "upper_lengths": swap(up_len), "lower_lengths": swap(low_len)}
+    if use_ga:
+        # (bars, 2, B) -> (B, bars, 2): per-clip/bar/staff penalty sums.
+        aux["ga_num"] = jnp.transpose(ga_num, (2, 0, 1))
     return (swap(ts_logp), swap(key_logp), swap(up_logp), swap(low_logp),
-            {"upper_tokens": swap(up_tok), "lower_tokens": swap(low_tok),
-             "upper_lengths": swap(up_len), "lower_lengths": swap(low_len)})
+            aux)
 
 
 # ---------------------------------------------------------------------------
@@ -706,7 +752,7 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
             cfg: ModelConfig = ModelConfig(), train: bool = False,
             ground_truth=None, tf_ratio=0.0, decode_dtype=None,
             emit_full: bool = True, conv_dtype=None, decode_chunk=None,
-            sample_weight=None):
+            sample_weight=None, ga_sigma: float = 0.0):
     """Full model forward.
 
     spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
@@ -778,7 +824,8 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
     else:
         ts, key, up, low, aux = hierarchical_decoder_apply(
             params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec,
-            decode_dtype=decode_dtype, emit_full=emit_full)
+            decode_dtype=decode_dtype, emit_full=emit_full,
+            ga_sigma=ga_sigma)
     return (ts, key, up, low, aux), {"convstack": new_conv_state}
 
 

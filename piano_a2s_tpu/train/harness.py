@@ -160,11 +160,21 @@ class Trainer:
         edc = exp.extras.get("eval_decode_chunk")
         if edc is not None and edc != "auto":
             edc = int(edc)
+        # Guided attention (extras `guided_attention: <weight>`): opt-in
+        # diagonal attention prior on the note decoders for synthetic
+        # pretraining — content-based attention otherwise spends many
+        # thousands of steps diffuse before aligning (docs/DESIGN.md §11).
+        # OFF by default: the reference has no such term; validation/WER,
+        # parity and eval paths are untouched either way.
+        self.ga_weight = float(exp.extras.get("guided_attention", 0.0))
+        self.ga_sigma = float(exp.extras.get("guided_attention_sigma",
+                                             0.15))
         self.train_step, self.eval_step = make_jitted_steps(
             self.optimizer, self.cfg, mesh=self.mesh,
             accum_steps=self.accum_steps, conv_dtype=self.conv_dtype,
             from_audio=self.from_audio, vqt_cfg=exp.vqt_config(),
-            max_frame_num=exp.max_frame_num, eval_decode_chunk=edc)
+            max_frame_num=exp.max_frame_num, eval_decode_chunk=edc,
+            ga_weight=self.ga_weight, ga_sigma=self.ga_sigma)
         # Length-bucketed train steps: the decode scan length is static, so
         # batches whose longest target is far below the 398/189 caps run a
         # shorter compiled variant (loss/gradient-exact: positions past the
@@ -362,7 +372,8 @@ class Trainer:
                 conv_dtype=self.conv_dtype,
                 from_audio=self.from_audio,
                 vqt_cfg=self.exp.vqt_config(),
-                max_frame_num=self.exp.max_frame_num)[0]
+                max_frame_num=self.exp.max_frame_num,
+                ga_weight=self.ga_weight, ga_sigma=self.ga_sigma)[0]
         batch = dict(batch)
         batch["upper"] = batch["upper"][:, :, :bu]
         batch["lower"] = batch["lower"][:, :, :bl]

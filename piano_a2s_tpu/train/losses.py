@@ -64,10 +64,16 @@ def _masked_mean_neg(picked: jnp.ndarray, targets: jnp.ndarray,
 
 
 def transcription_loss_fused(outputs, batch, pad_index: int = 147,
-                             sample_weight=None):
+                             sample_weight=None, ga_weight: float = 0.0):
     """Same loss from gt-picked log-probs (forward(emit_full=False)):
     upper/lower outputs are (B, bars, T) log-probs AT the target tokens,
-    so the (B, bars, T, V) distributions never exist in HBM."""
+    so the (B, bars, T, V) distributions never exist in HBM.
+
+    ga_weight > 0 adds the guided-attention penalty (opt-in training aid;
+    see models.note_decoder_dual_scan): mean per non-pad note step of the
+    attention mass outside the diagonal guide, from the forward's
+    aux["ga_num"] sums. OFF (0.0) by default — the reference has no such
+    term and every parity surface keeps it off."""
     ts_logp, key_logp, up_picked, low_picked = outputs[:4]
     w = sample_weight
     time_loss = nll(ts_logp, batch["time_sig"], sample_weight=w)
@@ -75,8 +81,32 @@ def transcription_loss_fused(outputs, batch, pad_index: int = 147,
     upper_loss = _masked_mean_neg(up_picked, batch["upper"], pad_index, w)
     lower_loss = _masked_mean_neg(low_picked, batch["lower"], pad_index, w)
     loss = time_loss + key_loss + upper_loss + lower_loss
-    return loss, {"time_loss": time_loss, "key_loss": key_loss,
-                  "upper_loss": upper_loss, "lower_loss": lower_loss}
+    comps = {"time_loss": time_loss, "key_loss": key_loss,
+             "upper_loss": upper_loss, "lower_loss": lower_loss}
+    if ga_weight:
+        num = _ga_numerator(outputs, sample_weight, ga_weight)
+        ga_loss = num / _ga_total(batch, pad_index, sample_weight)
+        comps["ga_loss"] = ga_loss
+        loss = loss + ga_loss
+    return loss, comps
+
+
+def _ga_numerator(outputs, sample_weight, ga_weight: float):
+    """Weighted guided-attention penalty sum for one (micro)batch."""
+    ga_num = outputs[4]["ga_num"]          # (B, bars, 2) step-penalty sums
+    per_clip = jnp.sum(ga_num, axis=(1, 2))
+    if sample_weight is not None:
+        per_clip = per_clip * sample_weight
+    return ga_weight * jnp.sum(per_clip)
+
+
+def _ga_total(batch, pad_index: int, sample_weight):
+    """Guide denominator: total non-pad note steps over BOTH staves —
+    computable from targets alone (exact microbatch decomposition)."""
+    def total(targets):
+        mask = (targets.astype(jnp.int32) != pad_index).astype(jnp.float32)
+        return jnp.sum(_weight_mask(mask, sample_weight))
+    return jnp.maximum(total(batch["upper"]) + total(batch["lower"]), 1.0)
 
 
 # --- gradient-accumulation decomposition ----------------------------------
@@ -91,9 +121,10 @@ def transcription_loss_fused(outputs, batch, pad_index: int = 147,
 
 
 def fused_component_sums(outputs, batch, pad_index: int = 147,
-                         sample_weight=None):
+                         sample_weight=None, ga_weight: float = 0.0):
     """Per-component NLL numerators (-sum picked*mask) for one microbatch,
-    from the fused forward's gt-picked log-probs."""
+    from the fused forward's gt-picked log-probs. ga_weight > 0 adds the
+    guided-attention numerator (key "ga_loss")."""
     ts_logp, key_logp, up_picked, low_picked = outputs[:4]
     w = sample_weight
 
@@ -109,15 +140,20 @@ def fused_component_sums(outputs, batch, pad_index: int = 147,
         mask = _weight_mask(mask, w)
         return -jnp.sum(picked * mask)
 
-    return {"time_loss": pick_sum(ts_logp, batch["time_sig"]),
+    nums = {"time_loss": pick_sum(ts_logp, batch["time_sig"]),
             "key_loss": pick_sum(key_logp, batch["key"]),
             "upper_loss": masked_sum(up_picked, batch["upper"]),
             "lower_loss": masked_sum(low_picked, batch["lower"])}
+    if ga_weight:
+        nums["ga_loss"] = _ga_numerator(outputs, w, ga_weight)
+    return nums
 
 
-def component_totals(batch, pad_index: int = 147, sample_weight=None):
+def component_totals(batch, pad_index: int = 147, sample_weight=None,
+                     ga: bool = False):
     """Global mask totals (the mean denominators), computed from targets
-    alone — no forward pass needed."""
+    alone — no forward pass needed. ga=True adds the guided-attention
+    denominator (matching fused_component_sums(ga_weight>0))."""
     w = sample_weight
 
     def total(mask):
@@ -125,7 +161,7 @@ def component_totals(batch, pad_index: int = 147, sample_weight=None):
         return jnp.maximum(jnp.sum(mask), 1.0)
 
     ones_bars = jnp.ones(batch["time_sig"].shape, jnp.float32)
-    return {
+    totals = {
         "time_loss": total(ones_bars),
         "key_loss": total(ones_bars),
         "upper_loss": total(
@@ -135,3 +171,6 @@ def component_totals(batch, pad_index: int = 147, sample_weight=None):
             (batch["lower"].astype(jnp.int32) != pad_index
              ).astype(jnp.float32)),
     }
+    if ga:
+        totals["ga_loss"] = _ga_total(batch, pad_index, w)
+    return totals

@@ -107,7 +107,8 @@ class StepOutput(NamedTuple):
 
 def train_step(params, opt_state, state, batch, rng, tf_ratio,
                optimizer: optax.GradientTransformation,
-               cfg: ModelConfig, conv_dtype=None, prep=_promote_staged):
+               cfg: ModelConfig, conv_dtype=None, prep=_promote_staged,
+               ga_weight: float = 0.0, ga_sigma: float = 0.15):
     """Pure train step: returns (params, opt_state, state, StepOutput).
 
     Uses the fused-loss forward (emit_full=False): the per-step gt-picked
@@ -124,10 +125,11 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
             p, state, batch["spectrogram"], rng, cfg=cfg, train=True,
             ground_truth=_ground_truth(batch), tf_ratio=tf_ratio,
             emit_full=False, conv_dtype=conv_dtype,
-            sample_weight=batch.get("sample_weight"))
+            sample_weight=batch.get("sample_weight"),
+            ga_sigma=(ga_sigma if ga_weight else 0.0))
         loss, comps = transcription_loss_fused(
             outs, batch, cfg.pad,
-            sample_weight=batch.get("sample_weight"))
+            sample_weight=batch.get("sample_weight"), ga_weight=ga_weight)
         return loss, (comps, new_state)
 
     (loss, (comps, new_state)), grads = jax.value_and_grad(
@@ -153,7 +155,8 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
 def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
                      optimizer: optax.GradientTransformation,
                      cfg: ModelConfig, accum_steps: int, conv_dtype=None,
-                     prep=_promote_staged):
+                     prep=_promote_staged, ga_weight: float = 0.0,
+                     ga_sigma: float = 0.15):
     """Gradient-accumulation train step: the batch is split into
     `accum_steps` microbatches scanned sequentially, so the compiled
     program's activation footprint (and the XLA program the remote
@@ -177,7 +180,8 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     # microbatch body: only one microbatch's f32 spectrogram is ever live
     # (totals depend only on the targets, which prep never touches).
     sw = batch.get("sample_weight")
-    totals = component_totals(batch, cfg.pad, sample_weight=sw)
+    totals = component_totals(batch, cfg.pad, sample_weight=sw,
+                              ga=bool(ga_weight))
 
     def split(x):
         return x.reshape((accum_steps, x.shape[0] // accum_steps)
@@ -192,9 +196,11 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
             p, state, mb["spectrogram"], key, cfg=cfg, train=True,
             ground_truth=_ground_truth(mb), tf_ratio=tf_ratio,
             emit_full=False, conv_dtype=conv_dtype,
-            sample_weight=mb.get("sample_weight"))
+            sample_weight=mb.get("sample_weight"),
+            ga_sigma=(ga_sigma if ga_weight else 0.0))
         nums = fused_component_sums(outs, mb, cfg.pad,
-                                    sample_weight=mb.get("sample_weight"))
+                                    sample_weight=mb.get("sample_weight"),
+                                    ga_weight=ga_weight)
         loss_mb = sum(nums[k] / totals[k] for k in sorted(nums))
         return loss_mb, (nums, new_st)
 
@@ -215,7 +221,8 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
                              jax.tree.leaves(params)[0].dtype, jnp.float32)
     zeros_nums = {k: jnp.zeros((), num_dt)
                   for k in ("time_loss", "key_loss", "upper_loss",
-                            "lower_loss")}
+                            "lower_loss")
+                  + (("ga_loss",) if ga_weight else ())}
     (grads, nums), stacked_states = jax.lax.scan(
         body, (zeros_grads, zeros_nums), (micro, rngs))
     # One running-stat momentum update per optimizer step (microbatch 0).
@@ -271,7 +278,8 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
                       cfg: ModelConfig, mesh=None, accum_steps: int = 1,
                       conv_dtype=None, from_audio: bool = False,
                       vqt_cfg=None, max_frame_num: int = 1201,
-                      eval_decode_chunk=None):
+                      eval_decode_chunk=None, ga_weight: float = 0.0,
+                      ga_sigma: float = 0.15):
     """Compile the steps. With a mesh, batches are sharded along the leading
     (batch) axis of the `data` mesh axis and params/opt/state are replicated;
     XLA inserts the gradient all-reduce (psum over ICI) automatically.
@@ -300,10 +308,11 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     if accum_steps > 1:
         t_step = partial(train_step_accum, optimizer=optimizer, cfg=cfg,
                          accum_steps=accum_steps, conv_dtype=conv_dtype,
-                         prep=prep)
+                         prep=prep, ga_weight=ga_weight, ga_sigma=ga_sigma)
     else:
         t_step = partial(train_step, optimizer=optimizer, cfg=cfg,
-                         conv_dtype=conv_dtype, prep=prep)
+                         conv_dtype=conv_dtype, prep=prep,
+                         ga_weight=ga_weight, ga_sigma=ga_sigma)
     e_step = partial(eval_step, cfg=cfg, prep=prep,
                      decode_chunk=(None if mesh is not None
                                    else eval_decode_chunk))

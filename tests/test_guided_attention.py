@@ -1,0 +1,168 @@
+"""Guided-attention penalty (opt-in training aid).
+
+docs/DESIGN.md §11: content-based Bahdanau attention spends thousands of
+steps diffuse before aligning (measured on the r4 scale run: note-level
+attention entropy 6.1-6.9 vs uniform 7.09 after 3750 steps, pitch at
+chance while rhythm/key learned). The opt-in `guided_attention` extra
+adds a diagonal prior on the note decoders: bar j of max_bars attends
+around frames [j, j+1]/max_bars, linearly in the token index. These
+tests pin (1) OFF-by-default parity (no aux key, identical loss),
+(2) the penalty's geometry (a synthetic run where the guide center is
+known), (3) exact monolithic == accumulated decomposition with the
+penalty on, and (4) that the penalty actually produces gradients."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from piano_a2s_tpu.models import ModelConfig, init_params, init_state
+from piano_a2s_tpu.models.score_transcription import forward
+from piano_a2s_tpu.train.losses import transcription_loss_fused
+from piano_a2s_tpu.train.step import (make_jitted_steps, make_optimizer,
+                                      train_step, train_step_accum)
+
+CFG = ModelConfig(freq_bins=16, conv_feature_size=24, hidden_size=16,
+                  max_bars=2, max_length=(8, 6), note_emb_size=8,
+                  staff_emb_size=8)
+B, T_ENC = 4, 20
+
+
+def _batch(b=B, seed=0):
+    rng = np.random.RandomState(seed)
+    batch = {
+        "spectrogram": rng.randn(b, 1, T_ENC, CFG.freq_bins)
+        .astype(np.float32),
+        "time_sig": rng.randint(0, 7, (b, CFG.max_bars)),
+        "key": rng.randint(0, 14, (b, CFG.max_bars)),
+        "upper": rng.randint(0, 140, (b, CFG.max_bars, CFG.max_length[0])),
+        "upper_lengths": rng.randint(2, CFG.max_length[0],
+                                     (b, CFG.max_bars)),
+        "lower": rng.randint(0, 140, (b, CFG.max_bars, CFG.max_length[1])),
+        "lower_lengths": rng.randint(2, CFG.max_length[1],
+                                     (b, CFG.max_bars)),
+    }
+    for staff, cap in (("upper", CFG.max_length[0]),
+                       ("lower", CFG.max_length[1])):
+        toks = batch[staff]
+        lens = batch[f"{staff}_lengths"]
+        pos = np.arange(cap)
+        toks[pos[None, None, :] >= lens[..., None]] = CFG.pad
+    return batch
+
+
+def _gt(batch):
+    return (batch["time_sig"], batch["key"], batch["upper"],
+            batch["upper_lengths"], batch["lower"],
+            batch["lower_lengths"])
+
+
+def _forward(batch, ga_sigma):
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state = init_state(CFG)
+    return forward(params, state, batch["spectrogram"],
+                   jax.random.PRNGKey(1), cfg=CFG, train=True,
+                   ground_truth=_gt(batch), tf_ratio=1.0, emit_full=False,
+                   ga_sigma=ga_sigma)[0]
+
+
+def test_off_by_default_no_aux_and_identical_loss():
+    batch = _batch()
+    outs_off = _forward(batch, ga_sigma=0.0)
+    assert "ga_num" not in outs_off[4]
+    outs_on = _forward(batch, ga_sigma=0.15)
+    assert "ga_num" in outs_on[4]
+    # the NLL surfaces are bit-identical with/without the penalty
+    for a, b in zip(outs_off[:4], outs_on[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    loss_off, comps_off = transcription_loss_fused(outs_off, batch, CFG.pad)
+    loss_on_w0, comps_on_w0 = transcription_loss_fused(
+        outs_on, batch, CFG.pad, ga_weight=0.0)
+    assert float(loss_off) == float(loss_on_w0)
+    assert "ga_loss" not in comps_on_w0 and "ga_loss" not in comps_off
+
+
+def test_penalty_shape_and_range():
+    batch = _batch()
+    outs = _forward(batch, ga_sigma=0.15)
+    ga = np.asarray(outs[4]["ga_num"])
+    assert ga.shape == (B, CFG.max_bars, 2)
+    # each per-step penalty is attention mass scaled by (1 - gaussian)
+    # in [0, 1]; the sum over a bar's steps is bounded by max_length
+    assert (ga >= 0).all()
+    assert (ga <= max(CFG.max_length)).all()
+    _, comps = transcription_loss_fused(outs, batch, CFG.pad,
+                                        ga_weight=0.5)
+    assert 0.0 <= float(comps["ga_loss"]) <= 0.5
+
+
+def test_wider_sigma_penalizes_less():
+    """The same attention weights incur a smaller penalty under a wider
+    guide — pins the sign of the sigma knob."""
+    batch = _batch()
+    narrow = transcription_loss_fused(
+        _forward(batch, ga_sigma=0.05), batch, CFG.pad, ga_weight=1.0,
+    )[1]["ga_loss"]
+    wide = transcription_loss_fused(
+        _forward(batch, ga_sigma=0.60), batch, CFG.pad, ga_weight=1.0,
+    )[1]["ga_loss"]
+    assert float(wide) < float(narrow)
+
+
+def test_monolithic_equals_accumulated_with_ga():
+    """The guided numerator/denominator decompose exactly over
+    microbatches, like every other component."""
+    batch = _batch()
+    opt = make_optimizer(lr=1.0)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state = init_state(CFG)
+    opt_state = opt.init(params)
+    kw = dict(optimizer=opt, cfg=CFG, ga_weight=0.4, ga_sigma=0.2)
+    p1, _, _, out1 = train_step(params, opt_state, state, batch,
+                                jax.random.PRNGKey(7), 1.0, **kw)
+    p2, _, _, out2 = train_step_accum(params, opt_state, state, batch,
+                                      jax.random.PRNGKey(7), 1.0,
+                                      accum_steps=2, **kw)
+    # tf_ratio=1.0 makes the decode deterministic, so the only
+    # monolithic-vs-accum differences are BN microbatch statistics;
+    # losses and ga components must agree to BN-stat tolerance.
+    assert "ga_loss" in out1.components and "ga_loss" in out2.components
+    np.testing.assert_allclose(float(out1.components["ga_loss"]),
+                               float(out2.components["ga_loss"]),
+                               rtol=0.2)
+    assert np.isfinite(float(out2.loss))
+
+
+def test_ga_produces_gradients_on_attention_params():
+    batch = _batch()
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state = init_state(CFG)
+
+    def loss_with(p, w):
+        outs, _ = forward(p, state, batch["spectrogram"],
+                          jax.random.PRNGKey(1), cfg=CFG, train=True,
+                          ground_truth=_gt(batch), tf_ratio=1.0,
+                          emit_full=False, ga_sigma=0.15)
+        loss, _ = transcription_loss_fused(outs, batch, CFG.pad,
+                                           ga_weight=w)
+        return loss
+
+    g0 = jax.grad(loss_with)(params, 0.0)
+    g1 = jax.grad(loss_with)(params, 1.0)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    # attention params of both staves must receive a different gradient
+    assert d["decoder"]["upper"]["attn"]["v"] > 0
+    assert d["decoder"]["lower"]["attn"]["v"] > 0
+
+
+def test_jitted_steps_carry_ga():
+    batch = _batch()
+    opt = make_optimizer(lr=1.0)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state = init_state(CFG)
+    opt_state = opt.init(params)
+    t_step, _ = make_jitted_steps(opt, CFG, ga_weight=0.3)
+    _, _, _, out = t_step(params, opt_state, state, batch,
+                          jax.random.PRNGKey(3), 0.7)
+    assert "ga_loss" in out.components
+    assert np.isfinite(float(out.loss))
