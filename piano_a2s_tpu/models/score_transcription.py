@@ -349,7 +349,8 @@ def _dual_embed(dual_params, ids2: jnp.ndarray) -> jnp.ndarray:
 def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
                            h0, gt_up, gt_low, tf_ratio, train: bool, rng,
                            emit_full: bool = True, ga_frac=None,
-                           ga_sigma: float = 0.15):
+                           ga_sigma: float = 0.15, ga_dur_frac=None,
+                           ga_content=None):
     """Teacher-forced decode of one bar for BOTH staves in one fixed-length
     scan of max(T_up, T_low) steps. Returns (upper, lower, ga_num) with
     per-staff (logp, tokens, lengths).
@@ -360,13 +361,22 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
     and only their gt-gather is needed for the training loss.
 
     ga_frac=(bar_start_frac, bar_span_frac) turns on the guided-attention
-    penalty (opt-in training aid, OFF by default — see losses.py): for
-    step t of a bar whose ground truth has L tokens, the expected
-    attention center is bar_start + bar_span * (t+0.5)/L of the encoder
-    frames, and the penalty is the attention mass outside a Gaussian of
-    width `ga_sigma` (fractional) around it, summed over non-pad steps.
-    Accumulated INSIDE the scan (one fused multiply-add over (2,B,T_enc)
-    per step, nothing materialized); ga_num is (2, B) or None when off.
+    penalty (opt-in training aid, OFF by default — see losses.py): the
+    expected attention center for step t is bar_start + bar_span *
+    within(t), and the penalty is the attention mass outside a Gaussian
+    of width `ga_sigma` (fractional) around it, summed over non-pad
+    steps. within(t) is the bar-time fraction: with `ga_dur_frac` (a
+    (vocab,) table of whole-note fractions per DURATION token id, zero
+    elsewhere) it is the cumulative ground-truth duration at t over the
+    bar total — exact for scores whose bars are rendered
+    proportional-to-duration; without it, the linear token-index
+    approximation (t+0.5)/L. `ga_content` ((B,) fraction of the encoder
+    window the clip's audio actually occupies) compresses the centers
+    for clips shorter than the window — without it a 10.8s clip in the
+    12.5s window puts bar-4 expectations ~1 sigma off (DESIGN §11).
+    Penalties accumulate INSIDE the scan (one fused multiply-add over
+    (2,B,T_enc) per step, nothing materialized); ga_num is (2, B) or
+    None when off.
     """
     B = enc.shape[0]
     t_up, t_low = cfg.max_length
@@ -382,25 +392,39 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
     up_len = _note_lengths(jnp.asarray(gt_up) == cfg.eos, t_up)
     low_len = _note_lengths(jnp.asarray(gt_low) == cfg.eos, t_low)
     if ga_frac is not None:
-        len2 = jnp.stack([up_len, low_len]).astype(jnp.float32)  # (2, B)
         f_frac = (jnp.arange(enc.shape[1], dtype=jnp.float32)
                   / enc.shape[1])                                # (T_enc,)
         bar_start, bar_span = ga_frac
+        valid2 = (gt2 != cfg.pad).astype(jnp.float32)            # (2,B,T)
+        if ga_dur_frac is not None:
+            dur = jnp.asarray(ga_dur_frac, jnp.float32)[gt2] * valid2
+            cum = jnp.cumsum(dur, axis=-1) - dur / 2.0
+            total = jnp.maximum(jnp.sum(dur, axis=-1, keepdims=True),
+                                1e-6)
+            within = jnp.clip(cum / total, 0.0, 1.0)             # (2,B,T)
+        else:
+            len2 = jnp.stack([up_len, low_len]).astype(jnp.float32)
+            within = jnp.minimum(
+                (jnp.arange(T, dtype=jnp.float32)[None, None, :] + 0.5)
+                / jnp.maximum(len2, 1.0)[..., None], 1.0)
+        phi = bar_start + bar_span * within                      # (2,B,T)
+        if ga_content is not None:
+            phi = phi * ga_content[None, :, None]
+        phi_xs = jnp.moveaxis(phi, 2, 0)                         # (T,2,B)
+    else:
+        phi_xs = jnp.zeros((T, 2, B), jnp.float32)
 
     @jax.checkpoint  # remat: the (2,B,T_enc,H) attention energies would
     # otherwise be saved for EVERY step (~20 GB at full size, B=4);
     # recomputing them in the backward pass keeps activations ~step-sized.
     def body(carry, xs):
         h2, tok2, ga = carry
-        keys, gt_t, t_idx = xs  # keys (4, 2); gt_t (2, B); t_idx scalar
+        keys, gt_t, phi_t = xs  # keys (4, 2); gt_t (2, B); phi_t (2, B)
         h2, logp2, pred2, w2 = _dual_step(dual_params, cfg, enc, enc_proj2,
                                           h2, tok2, keys[:2], train)
         if ga_frac is not None:
-            within = jnp.minimum((t_idx + 0.5) / jnp.maximum(len2, 1.0),
-                                 1.0)                       # (2, B)
-            phi = bar_start + bar_span * within             # (2, B)
             guide = 1.0 - jnp.exp(
-                -((f_frac[None, None, :] - phi[..., None]) ** 2)
+                -((f_frac[None, None, :] - phi_t[..., None]) ** 2)
                 / (2.0 * ga_sigma ** 2))                    # (2, B, T_enc)
             step_pen = jnp.sum(w2.astype(jnp.float32) * guide, axis=-1)
             valid = (gt_t != cfg.pad).astype(jnp.float32)
@@ -420,8 +444,7 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
     h0_2 = jnp.stack([h0, h0])
     ga0 = jnp.zeros((2, B), jnp.float32)
     (_, _, ga_num), (logps, preds) = jax.lax.scan(
-        body, (h0_2, sos2, ga0),
-        (step_keys, gt_xs, jnp.arange(T, dtype=jnp.float32)))
+        body, (h0_2, sos2, ga0), (step_keys, gt_xs, phi_xs))
     # logps: (T, 2, B[, V]) -> per staff (B, T_staff[, V])
     up_logp = jnp.swapaxes(logps[:, 0], 0, 1)[:, :t_up]
     low_logp = jnp.swapaxes(logps[:, 1], 0, 1)[:, :t_low]
@@ -575,7 +598,8 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
                                hidden: jnp.ndarray,
                                ground_truth, tf_ratio, train: bool, rng,
                                decode_dtype=None, emit_full: bool = True,
-                               ga_sigma: float = 0.0):
+                               ga_sigma: float = 0.0, ga_dur_frac=None,
+                               ga_content=None):
     """Decode max_bars bars. ground_truth is None (inference) or the tuple
     (time_sig (B,bars), key (B,bars), upper (B,bars,Tu), upper_len (B,bars),
     lower (B,bars,Tl), lower_len (B,bars)).
@@ -655,7 +679,9 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
              (low_logp, low_tok, low_len), ga_num) = note_decoder_dual_scan(
                 dual_params, cfg, enc_dec, enc_proj2, bar_h0,
                 up_t, low_t, tf_ratio, train, k_up, emit_full=emit_full,
-                ga_frac=ga_frac, ga_sigma=ga_sigma)
+                ga_frac=ga_frac, ga_sigma=ga_sigma,
+                ga_dur_frac=(ga_dur_frac if use_ga else None),
+                ga_content=(ga_content if use_ga else None))
         else:
             ((up_logp, up_tok, up_len),
              (low_logp, low_tok, low_len)) = note_decoder_dual_infer(
@@ -752,7 +778,8 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
             cfg: ModelConfig = ModelConfig(), train: bool = False,
             ground_truth=None, tf_ratio=0.0, decode_dtype=None,
             emit_full: bool = True, conv_dtype=None, decode_chunk=None,
-            sample_weight=None, ga_sigma: float = 0.0):
+            sample_weight=None, ga_sigma: float = 0.0, ga_dur_frac=None,
+            ga_content=None):
     """Full model forward.
 
     spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
@@ -825,7 +852,8 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
         ts, key, up, low, aux = hierarchical_decoder_apply(
             params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec,
             decode_dtype=decode_dtype, emit_full=emit_full,
-            ga_sigma=ga_sigma)
+            ga_sigma=ga_sigma, ga_dur_frac=ga_dur_frac,
+            ga_content=ga_content)
     return (ts, key, up, low, aux), {"convstack": new_conv_state}
 
 

@@ -169,12 +169,20 @@ class Trainer:
         self.ga_weight = float(exp.extras.get("guided_attention", 0.0))
         self.ga_sigma = float(exp.extras.get("guided_attention_sigma",
                                              0.15))
+        # (vocab,) whole-note fraction per DURATION token id (0 for
+        # pitch/separator/control ids): lets the guide place each step's
+        # expected attention center at its token's CUMULATIVE bar-time
+        # fraction — exact for proportional-to-duration renderings —
+        # instead of the linear token-index approximation.
+        self.ga_dur_frac = (_duration_fraction_table(self.cfg.vocab_size)
+                            if self.ga_weight else None)
         self.train_step, self.eval_step = make_jitted_steps(
             self.optimizer, self.cfg, mesh=self.mesh,
             accum_steps=self.accum_steps, conv_dtype=self.conv_dtype,
             from_audio=self.from_audio, vqt_cfg=exp.vqt_config(),
             max_frame_num=exp.max_frame_num, eval_decode_chunk=edc,
-            ga_weight=self.ga_weight, ga_sigma=self.ga_sigma)
+            ga_weight=self.ga_weight, ga_sigma=self.ga_sigma,
+            ga_dur_frac=self.ga_dur_frac)
         # Length-bucketed train steps: the decode scan length is static, so
         # batches whose longest target is far below the 398/189 caps run a
         # shorter compiled variant (loss/gradient-exact: positions past the
@@ -373,7 +381,8 @@ class Trainer:
                 from_audio=self.from_audio,
                 vqt_cfg=self.exp.vqt_config(),
                 max_frame_num=self.exp.max_frame_num,
-                ga_weight=self.ga_weight, ga_sigma=self.ga_sigma)[0]
+                ga_weight=self.ga_weight, ga_sigma=self.ga_sigma,
+                ga_dur_frac=self.ga_dur_frac)[0]
         batch = dict(batch)
         batch["upper"] = batch["upper"][:, :, :bu]
         batch["lower"] = batch["lower"][:, :, :bl]
@@ -582,6 +591,24 @@ class Trainer:
             with open(os.path.join(results_dir, f"{id_}.json"), "w") as f:
                 json.dump(result, f, indent=2)
         return stage_stats
+
+
+def _duration_fraction_table(vocab_size: int):
+    """(vocab,) float32: whole-note fraction per duration token id
+    ("4" -> 1/4, "8." -> 1.5/8, tuplet values like "12" -> 1/12), zero
+    for pitch/separator/control ids — the guided-attention guide's
+    bar-time map (models.note_decoder_dual_scan ga_dur_frac)."""
+    import re
+
+    from ..symbolic.vocab import LabelsMultiple
+
+    table = np.zeros(vocab_size, np.float32)
+    for tok, idx in LabelsMultiple(extended=True).labels_map.items():
+        m = re.fullmatch(r"(\d+)(\.*)", tok)
+        if m and idx < vocab_size:
+            frac = 1.0 / max(int(m.group(1)), 1)
+            table[idx] = frac * (2.0 - 0.5 ** len(m.group(2)))
+    return table
 
 
 def _load_time_sig_list():

@@ -88,6 +88,17 @@ def make_audio_frontend(vqt_cfg=None, max_frame_num: int = 1201):
         audio = batch.pop("audio")
         if audio.dtype == jnp.int16:
             audio = audio.astype(jnp.float32) / PCM16_SCALE
+        # Content fraction: what part of the (zero-padded-to-max) frame
+        # window the clip actually occupies. Rendered clips are 10.2-11.8s
+        # in the 12.5s window, so guided attention's expected centers must
+        # compress by this per-clip factor (docs/DESIGN.md §11).
+        L = audio.shape[-1]
+        active = jnp.abs(audio) > 1e-4
+        last = L - jnp.argmax(active[:, ::-1], axis=-1)  # 1-based index
+        n_samples = jnp.where(jnp.any(active, axis=-1), last, L)
+        content = (n_samples / vqt_cfg.hop_length) / max_frame_num
+        batch["ga_content"] = jnp.clip(
+            content, 0.05, 1.0).astype(jnp.float32)
         spec = get_vqt(audio, kernels, vqt_cfg)  # (B, T, bins)
         t = spec.shape[1]
         if t >= max_frame_num:
@@ -108,7 +119,8 @@ class StepOutput(NamedTuple):
 def train_step(params, opt_state, state, batch, rng, tf_ratio,
                optimizer: optax.GradientTransformation,
                cfg: ModelConfig, conv_dtype=None, prep=_promote_staged,
-               ga_weight: float = 0.0, ga_sigma: float = 0.15):
+               ga_weight: float = 0.0, ga_sigma: float = 0.15,
+               ga_dur_frac=None):
     """Pure train step: returns (params, opt_state, state, StepOutput).
 
     Uses the fused-loss forward (emit_full=False): the per-step gt-picked
@@ -126,7 +138,9 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
             ground_truth=_ground_truth(batch), tf_ratio=tf_ratio,
             emit_full=False, conv_dtype=conv_dtype,
             sample_weight=batch.get("sample_weight"),
-            ga_sigma=(ga_sigma if ga_weight else 0.0))
+            ga_sigma=(ga_sigma if ga_weight else 0.0),
+            ga_dur_frac=ga_dur_frac,
+            ga_content=batch.get("ga_content"))
         loss, comps = transcription_loss_fused(
             outs, batch, cfg.pad,
             sample_weight=batch.get("sample_weight"), ga_weight=ga_weight)
@@ -156,7 +170,7 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
                      optimizer: optax.GradientTransformation,
                      cfg: ModelConfig, accum_steps: int, conv_dtype=None,
                      prep=_promote_staged, ga_weight: float = 0.0,
-                     ga_sigma: float = 0.15):
+                     ga_sigma: float = 0.15, ga_dur_frac=None):
     """Gradient-accumulation train step: the batch is split into
     `accum_steps` microbatches scanned sequentially, so the compiled
     program's activation footprint (and the XLA program the remote
@@ -197,7 +211,9 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
             ground_truth=_ground_truth(mb), tf_ratio=tf_ratio,
             emit_full=False, conv_dtype=conv_dtype,
             sample_weight=mb.get("sample_weight"),
-            ga_sigma=(ga_sigma if ga_weight else 0.0))
+            ga_sigma=(ga_sigma if ga_weight else 0.0),
+            ga_dur_frac=ga_dur_frac,
+            ga_content=mb.get("ga_content"))
         nums = fused_component_sums(outs, mb, cfg.pad,
                                     sample_weight=mb.get("sample_weight"),
                                     ga_weight=ga_weight)
@@ -279,7 +295,7 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
                       conv_dtype=None, from_audio: bool = False,
                       vqt_cfg=None, max_frame_num: int = 1201,
                       eval_decode_chunk=None, ga_weight: float = 0.0,
-                      ga_sigma: float = 0.15):
+                      ga_sigma: float = 0.15, ga_dur_frac=None):
     """Compile the steps. With a mesh, batches are sharded along the leading
     (batch) axis of the `data` mesh axis and params/opt/state are replicated;
     XLA inserts the gradient all-reduce (psum over ICI) automatically.
@@ -308,11 +324,13 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
     if accum_steps > 1:
         t_step = partial(train_step_accum, optimizer=optimizer, cfg=cfg,
                          accum_steps=accum_steps, conv_dtype=conv_dtype,
-                         prep=prep, ga_weight=ga_weight, ga_sigma=ga_sigma)
+                         prep=prep, ga_weight=ga_weight, ga_sigma=ga_sigma,
+                         ga_dur_frac=ga_dur_frac)
     else:
         t_step = partial(train_step, optimizer=optimizer, cfg=cfg,
                          conv_dtype=conv_dtype, prep=prep,
-                         ga_weight=ga_weight, ga_sigma=ga_sigma)
+                         ga_weight=ga_weight, ga_sigma=ga_sigma,
+                         ga_dur_frac=ga_dur_frac)
     e_step = partial(eval_step, cfg=cfg, prep=prep,
                      decode_chunk=(None if mesh is not None
                                    else eval_decode_chunk))

@@ -166,3 +166,56 @@ def test_jitted_steps_carry_ga():
                           jax.random.PRNGKey(3), 0.7)
     assert "ga_loss" in out.components
     assert np.isfinite(float(out.loss))
+
+
+def test_duration_table_and_content_compression():
+    """The precise guide: expected centers follow CUMULATIVE gt duration
+    (not linear index), and ga_content compresses them toward frame 0.
+    Checked via the penalty of a fixed forward: a guide whose centers are
+    computed from the duration table must differ from the linear-index
+    one whenever durations are non-uniform, and content < 1 must change
+    the penalty (the centers move)."""
+    from piano_a2s_tpu.train.harness import _duration_fraction_table
+
+    table = _duration_fraction_table(CFG.vocab_size)
+    # duration ids resolve to fractions; pitch ids to 0
+    assert table[4] == 0.25 and table[7] == 1.5 / 8
+    assert table[21] == 0.0
+
+    batch = _batch()
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state = init_state(CFG)
+
+    def pen(ga_dur_frac=None, ga_content=None):
+        outs, _ = forward(params, state, batch["spectrogram"],
+                          jax.random.PRNGKey(1), cfg=CFG, train=True,
+                          ground_truth=_gt(batch), tf_ratio=1.0,
+                          emit_full=False, ga_sigma=0.15,
+                          ga_dur_frac=ga_dur_frac, ga_content=ga_content)
+        return float(np.sum(np.asarray(outs[4]["ga_num"])))
+
+    base = pen()
+    with_durs = pen(ga_dur_frac=table)
+    compressed = pen(ga_content=jnp.full((B,), 0.6, jnp.float32))
+    assert with_durs != base      # centers moved off the linear grid
+    assert compressed != base     # centers compressed toward frame 0
+    assert all(np.isfinite(v) for v in (base, with_durs, compressed))
+
+
+def test_audio_frontend_emits_content_fraction():
+    """make_audio_frontend computes the per-clip occupied fraction of
+    the frame window from the zero-padded audio."""
+    from piano_a2s_tpu.ops.vqt import VQTConfig
+    from piano_a2s_tpu.train.step import make_audio_frontend
+
+    vqt_cfg = VQTConfig(sample_rate=16000)
+    max_frames = 100
+    prep = make_audio_frontend(vqt_cfg, max_frame_num=max_frames)
+    L = max_frames * vqt_cfg.hop_length
+    audio = np.zeros((2, L), np.float32)
+    audio[0, : L // 2] = 0.1          # half-full clip
+    audio[1, : (4 * L) // 5] = 0.1    # 80%-full clip
+    out = prep({"audio": jnp.asarray(audio)})
+    frac = np.asarray(out["ga_content"])
+    np.testing.assert_allclose(frac, [0.5, 0.8], atol=0.02)
+    assert out["spectrogram"].shape[2] == max_frames
