@@ -9,6 +9,7 @@ and prints the summary tables. WER/F1 summaries work without Java.
 """
 
 import argparse
+import glob
 import os
 import shutil
 import sys
@@ -84,7 +85,11 @@ def main(argv=None):
                 print(f"MUSTER tool not found "
                       f"(--muster-script={args.muster_script!r}): "
                       "skipping MUSTER")
-            elif not os.path.isdir(os.path.join(folder, "results", "mv2h")):
+            elif not glob.glob(os.path.join(folder, "results", "mv2h",
+                                            "*.json")):
+                # Covers both "stage never ran" and "stage ran but every
+                # export failed" — an 'ER over 0 pairs' line would read
+                # as a perfect score.
                 print(f"{folder}: no MV2H exports yet (MUSTER consumes the "
                       "XML pairs the MV2H stage writes): skipping MUSTER")
             else:

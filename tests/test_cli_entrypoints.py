@@ -144,13 +144,15 @@ def test_pretrain_then_finetune_cli(tmp_path):
     assert results and all(r_.startswith("asap~") for r_ in results)
 
     # evaluate.py (offline summaries; host-only, no jax): WER/F1 works
-    # without Java/MV2H and the MV2H absence is reported, not fatal.
+    # without Java, and MV2H still runs — the native scorer
+    # (train/mv2h.py) takes over when java/classpath are absent.
     r = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"), fin_yaml],
         capture_output=True, text=True, timeout=240, cwd=REPO_ROOT)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "WER/F1 over" in r.stdout
-    assert "skipping MV2H" in r.stdout
+    assert "MV2H engine: native scorer" in r.stdout
+    assert "MV2H (native) over" in r.stdout
 
 
 def test_evaluate_cli_mv2h_with_fake_java(fake_bin, tmp_path):  # noqa: F811
@@ -194,7 +196,7 @@ mv2h_timeout: 120
     assert "WER/F1 over 1 clips" in r.stdout
     assert "skipping MV2H" not in r.stdout
     assert "MV2H export errors: 0" in r.stdout
-    assert "MV2H over 1 clips" in r.stdout
+    assert "MV2H (java) over 1 clips" in r.stdout
     # pred == target -> the fake java replays Multi-pitch 1.0
     assert "'Multi-pitch': 1.0" in r.stdout
     mv2h_json = os.path.join(out, "results", "mv2h",
@@ -236,16 +238,30 @@ feature_folder: {tmp_path}/features
     assert "skipping MUSTER" in r.stdout
     assert "MUSTER ER over" not in r.stdout
 
-    # Tool present but no MV2H exports yet: explicit notice, no listdir
-    # crash on the absent results/mv2h directory.
+    # Tool present but zero successful MV2H exports (an empty results
+    # split -> mv2h/ exists but is EMPTY): explicit notice, never an
+    # 'ER over 0 pairs' line that reads as a perfect score.
+    out2 = str(tmp_path / "out_eval2")
+    _make_result_fixture(out2, "test", "0~songB.0~Upright",
+                         [[0, "4/4", [4], [4]]])
+    os.remove(os.path.join(out2, "results", "test",
+                           "0~songB.0~Upright.json"))
+    yaml2 = tmp_path / "eval2.yaml"
+    yaml2.write_text(f"""\
+seed: 7
+workspace: {tmp_path}
+output_folder: {out2}
+feature_folder: {tmp_path}/features
+""")
     muster = tmp_path / "evaluate_XML_voicePlus.sh"
     muster.write_text(FAKE_MUSTER.format(python=sys.executable))
     muster.chmod(0o755)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"),
-         str(yaml_path), "--muster", "--muster-script", str(muster)],
+         str(yaml2), "--muster", "--muster-script", str(muster)],
         capture_output=True, text=True, timeout=240, cwd=str(tmp_path),
         env=env)
     assert r.returncode == 0, r.stdout + r.stderr
+    assert "MV2H export errors: 0" in r.stdout
     assert "no MV2H exports yet" in r.stdout
     assert "MUSTER ER over" not in r.stdout
