@@ -398,10 +398,18 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
         valid2 = (gt2 != cfg.pad).astype(jnp.float32)            # (2,B,T)
         if ga_dur_frac is not None:
             dur = jnp.asarray(ga_dur_frac, jnp.float32)[gt2] * valid2
+            # Every token of note k expects note k's MIDPOINT: duration
+            # tokens sit at cumsum - dur/2 directly; pitch/separator
+            # tokens (dur 0) forward-fill the last duration token's
+            # midpoint (cum is monotone, so a running max fills exactly)
+            # — without this they'd point at the NEXT note's onset.
             cum = jnp.cumsum(dur, axis=-1) - dur / 2.0
+            mid = jnp.where(dur > 0, cum, -1.0)
+            mid = jax.lax.cummax(mid, axis=2)
+            mid = jnp.maximum(mid, 0.0)
             total = jnp.maximum(jnp.sum(dur, axis=-1, keepdims=True),
                                 1e-6)
-            within = jnp.clip(cum / total, 0.0, 1.0)             # (2,B,T)
+            within = jnp.clip(mid / total, 0.0, 1.0)             # (2,B,T)
         else:
             len2 = jnp.stack([up_len, low_len]).astype(jnp.float32)
             within = jnp.minimum(
