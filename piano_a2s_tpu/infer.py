@@ -14,6 +14,7 @@ blocking calls.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
@@ -158,7 +159,8 @@ class Transcriber:
 
     # -- inference ----------------------------------------------------------
 
-    def transcribe_batch(self, audio_batch: Sequence[np.ndarray]
+    def transcribe_batch(self, audio_batch: Sequence[np.ndarray],
+                         timings: Optional[dict] = None
                          ) -> List[List[list]]:
         """List of mono clips -> list of per-clip target structures.
 
@@ -170,7 +172,31 @@ class Transcriber:
         capped the HTTP server's dynamic batches at ~6 clips/s.
 
         Batches are padded to the next power of two so repeated calls with
-        varying batch sizes reuse a handful of compiled programs."""
+        varying batch sizes reuse a handful of compiled programs.
+
+        `timings` (optional dict) accumulates per-phase seconds under
+        keys "host_prep_s" (stack/pad/resample), "device_s" (dispatch +
+        upload + compute + download under the tunnel — these serialize,
+        docs/DESIGN.md §2a) and "postprocess_s" (token -> target
+        structures) — the serving profiler's hook (serve.py /stats).
+
+        The two halves are public on their own: `prepare_batch` (the
+        host-side work, safe to run on a DIFFERENT thread) +
+        `transcribe_prepared` (the device call) let the HTTP server
+        double-buffer — prepare batch N+1 while N runs on the chip
+        (serve.py's prefetch thread; measured +~10% at batch ~26)."""
+        t0 = time.monotonic()
+        specs, n = self.prepare_batch(audio_batch)
+        if timings is not None:
+            timings["host_prep_s"] = (timings.get("host_prep_s", 0.0)
+                                      + time.monotonic() - t0)
+        return self.transcribe_prepared(specs, n, timings=timings)
+
+    def prepare_batch(self, audio_batch: Sequence[np.ndarray]):
+        """Host-side half of transcribe_batch: stack/trim/pad clips and
+        pad the batch to the program's size classes. Returns (specs, n);
+        thread-safe (touches no device state), so a server can run it
+        concurrently with a device call on another batch."""
         from .utils.audio import stack_audio_batch
         specs = stack_audio_batch([self._prep_audio(a)
                                    for a in audio_batch])
@@ -185,12 +211,25 @@ class Transcriber:
         if padded != n:
             specs = np.concatenate(
                 [specs, np.repeat(specs[-1:], padded - n, axis=0)])
+        return specs, n
+
+    def transcribe_prepared(self, specs, n: int,
+                            timings: Optional[dict] = None
+                            ) -> List[List[list]]:
+        """Device half of transcribe_batch: one fused VQT+model call on a
+        prepare_batch output, then token decode."""
         if self._batch_sharding is not None:
             specs = jax.device_put(specs, self._batch_sharding)
-        return self._postprocess(
-            jax.device_get(self._infer_audio(self.params, self.state,
-                                             specs)),
-            len(audio_batch))
+        t1 = time.monotonic()
+        arrays = jax.device_get(self._infer_audio(self.params, self.state,
+                                                  specs))
+        t2 = time.monotonic()
+        out = self._postprocess(arrays, n)
+        if timings is not None:
+            t3 = time.monotonic()
+            for k, v in (("device_s", t2 - t1), ("postprocess_s", t3 - t2)):
+                timings[k] = timings.get(k, 0.0) + v
+        return out
 
     def _postprocess(self, arrays, n: int) -> List[List[list]]:
         """Device outputs -> first n clips' per-bar target structures."""

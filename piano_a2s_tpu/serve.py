@@ -63,14 +63,20 @@ class TranscriptionService:
         self._wakeup = threading.Event()
         self._closed = False
         self.stats = {"requests": 0, "batches": 0, "clips": 0,
-                      "errors": 0, "busy_s": 0.0, "max_batch_seen": 0}
+                      "errors": 0, "busy_s": 0.0, "max_batch_seen": 0,
+                      # Per-phase profile of the worker's serial path
+                      # (VERDICT r3 #6): queue wait from a batch's FIRST
+                      # submit to its device call, then the Transcriber's
+                      # host-prep / device / postprocess split.
+                      "wait_s": 0.0, "host_prep_s": 0.0, "device_s": 0.0,
+                      "postprocess_s": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, audio: np.ndarray, timeout: float = 120.0):
         """Blocking: enqueue one clip, wait for its transcription."""
         item = {"audio": audio, "done": threading.Event(),
-                "result": None, "error": None}
+                "result": None, "error": None, "t_submit": time.monotonic()}
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is shut down")
@@ -117,11 +123,30 @@ class TranscriptionService:
     def snapshot(self) -> dict:
         with self._lock:
             stats = dict(self.stats)
-        stats["clips_per_batch"] = (round(stats["clips"] / stats["batches"],
-                                          2) if stats["batches"] else 0.0)
+        n = stats["batches"]
+        stats["clips_per_batch"] = (round(stats["clips"] / n, 2)
+                                    if n else 0.0)
+        # Per-batch phase means (ms): where the worker's serial path
+        # spends its time under load.
+        for k in ("wait_s", "host_prep_s", "device_s", "postprocess_s",
+                  "busy_s"):
+            stats[f"{k[:-2]}_ms_per_batch"] = (round(1e3 * stats[k] / n, 1)
+                                               if n else 0.0)
         return stats
 
     def _run(self):
+        # Deliberately SERIAL (form batch -> host prep -> device): a
+        # double-buffered prefetch variant (prepare batch N+1 while N
+        # runs, via Transcriber.prepare_batch/transcribe_prepared) was
+        # built and load-tested in round 4 and REGRESSED closed-loop
+        # throughput (64 clients: 37.6 -> 26-27 clips/s) — pipelining
+        # splits a bounded client population across two in-flight
+        # batches, shrinking them (26 -> 16-20 clips), and the device
+        # time per CLIP rises faster than the overlapped ~85 ms of host
+        # prep saves. The per-phase /stats show the serial path is
+        # device-bound (device 82-88% of the worker's 96%-busy wall), so
+        # the remaining lever is batch FULLNESS (max_wait_ms), not
+        # overlap.
         while True:
             batch = self._take_batch()
             if not batch:
@@ -129,9 +154,14 @@ class TranscriptionService:
                     return
                 continue
             t0 = time.monotonic()
+            wait = t0 - min(it["t_submit"] for it in batch)
+            timings = {}
             try:
-                results = self.transcriber.transcribe_batch(
+                specs, n = self.transcriber.prepare_batch(
                     [it["audio"] for it in batch])
+                timings["host_prep_s"] = time.monotonic() - t0
+                results = self.transcriber.transcribe_prepared(
+                    specs, n, timings=timings)
                 for it, res in zip(batch, results):
                     it["result"] = res
             except Exception as exc:  # noqa: BLE001 — fail the batch
@@ -144,6 +174,9 @@ class TranscriptionService:
                     self.stats["batches"] += 1
                     self.stats["clips"] += len(batch)
                     self.stats["busy_s"] += time.monotonic() - t0
+                    self.stats["wait_s"] += wait
+                    for k in ("host_prep_s", "device_s", "postprocess_s"):
+                        self.stats[k] += timings.get(k, 0.0)
                     self.stats["max_batch_seen"] = max(
                         self.stats["max_batch_seen"], len(batch))
                 for it in batch:
