@@ -140,14 +140,63 @@ def measure_ours(**kw) -> float:
     return BATCH / min(v.timed_loop() for _ in range(3))
 
 
-def measure_serving_interleaved(variants: dict, rounds: int = 3) -> dict:
+class _Canary:
+    """Drift canary: one fixed, warmed serving program (f32 full-length
+    stream — the same upload+compute mix as the headline metric) sampled
+    adjacent to every measured config. The tunnel's throughput drifts
+    ±30-40% over tens of minutes AND between rounds (r02's 76.45 vs
+    r03's 60.76 headline was tunnel phase, not a regression); dividing
+    each raw number by the canary's contemporaneous drift factor makes
+    numbers comparable across time. The canary's reference throughput is
+    pinned in .bench_baseline.json on first measurement (like the torch
+    anchor), so normalization holds ACROSS rounds, not just within one
+    run."""
+
+    def __init__(self, variant: "_ServeVariant"):
+        self.variant = variant      # reuse the already-warmed headline
+        self.samples = []           # (unix_time, clips/s)
+
+    def sample(self) -> float:
+        v = BATCH / self.variant.timed_loop()
+        self.samples.append((time.time(), v))
+        return v
+
+    def nearest(self, t: float) -> float:
+        return min(self.samples, key=lambda s: abs(s[0] - t))[1]
+
+    def median(self) -> float:
+        vals = sorted(v for _, v in self.samples)
+        return vals[len(vals) // 2]
+
+
+def get_canary_ref(measured_median: float) -> float:
+    """Cross-round canary anchor, pinned next to the torch anchor."""
+    data = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            data = json.load(f)
+    if "canary_ref_clips_per_sec" not in data:
+        data["canary_ref_clips_per_sec"] = measured_median
+        data["canary_note"] = ("f32 full-length stream at BENCH_BATCH; "
+                               "first-run median; all *_normalized fields "
+                               "are raw * (this / contemporaneous canary)")
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(data, f, indent=2)
+    return data["canary_ref_clips_per_sec"]
+
+
+def measure_serving_interleaved(variants: dict, rounds: int = 3,
+                                built: dict = None) -> dict:
     """Time several serving configs ALTERNATING round-robin so every
     config sees the same tunnel-drift window (the tunnel's throughput
     drifts ±30-40% over tens of minutes; a sequential sweep can invert
     a real ordering — round 3's sequential run showed bf16 full-length
     'slower' than f32, which an interleaved A/B contradicts). Returns
-    {name: clips/s} from each config's best round."""
-    built = {name: _ServeVariant(**kw) for name, kw in variants.items()}
+    {name: clips/s} from each config's best round. `built` (optional)
+    supplies pre-constructed variants (so a caller can keep one for
+    canary sampling)."""
+    if built is None:
+        built = {name: _ServeVariant(**kw) for name, kw in variants.items()}
     best = {name: 0.0 for name in variants}
     for _ in range(rounds):
         for name, v in built.items():
@@ -379,13 +428,20 @@ def get_baseline() -> float:
 
 def main():
     if os.environ.get("BENCH_CONFIGS", "1") == "0":
-        ours = measure_ours()
+        v = _ServeVariant()
+        canary = _Canary(v)
+        ours = BATCH / min(v.timed_loop() for _ in range(3))
+        canary.sample()
+        ref = get_canary_ref(canary.median())
+        drift = canary.median() / ref
         baseline = get_baseline()
         print(json.dumps({
             "metric": "clips_per_sec_per_chip",
             "value": round(ours, 3),
             "unit": "clips/s",
             "vs_baseline": round(ours / baseline, 2),
+            "value_normalized": round(ours / drift, 3),
+            "drift": round(drift, 4),
         }))
         return
     import jax.numpy as jnp
@@ -393,7 +449,7 @@ def main():
     # config, round-robin) so tunnel drift can't invert their ordering;
     # the primary metric is the worst-case (f32 full-length) config's
     # best round.
-    serving = measure_serving_interleaved({
+    serving_variants = {
         "f32_full_length": {},
         "bf16_full_length": dict(decode_dtype=jnp.bfloat16),
         "early_exit_eos_biased": dict(eos_bias=4.0),
@@ -401,21 +457,31 @@ def main():
                                         eos_bias=4.0),
         "serving_bf16_ee_int16pcm": dict(decode_dtype=jnp.bfloat16,
                                          eos_bias=4.0, pcm16=True),
-    })
+    }
+    built = {name: _ServeVariant(**kw)
+             for name, kw in serving_variants.items()}
+    # The canary IS the headline program (f32 full-length), re-sampled
+    # adjacent to every later measurement so each raw number gets a
+    # contemporaneous drift factor.
+    canary = _Canary(built["f32_full_length"])
+    canary.sample()
+    serving = measure_serving_interleaved(serving_variants, built=built)
+    t_serving = time.time()
+    canary.sample()
+
+    when = {name: t_serving for name in serving}
     ours = serving["f32_full_length"]
     baseline = get_baseline()
-    record = {
-        "metric": "clips_per_sec_per_chip",
-        "value": round(ours, 3),
-        "unit": "clips/s",
-        "vs_baseline": round(ours / baseline, 2),
-    }
     configs = {k: round(v, 2) for k, v in serving.items()}
-    configs["train_b4_bucket64"] = round(
-        measure_train(4, max_length=(64, 64)), 2)
-    configs["train_b8_full"] = round(measure_train(8), 2)
-    configs["train_b16_accum2_full"] = round(
-        measure_train(16, accum_steps=2), 2)
+
+    def timed(name, fn):
+        configs[name] = round(fn(), 2)
+        when[name] = time.time()
+        canary.sample()
+
+    timed("train_b4_bucket64", lambda: measure_train(4, max_length=(64, 64)))
+    timed("train_b8_full", lambda: measure_train(8))
+    timed("train_b16_accum2_full", lambda: measure_train(16, accum_steps=2))
     # f32 vs bf16 at the recommended config is a reported ORDERING
     # claim — measure the pair interleaved so tunnel drift can't
     # invert it (round 2's sequential run showed bf16 "slower").
@@ -427,10 +493,34 @@ def main():
             train_dtype="bfloat16"),
     })
     configs.update({k: round(v, 2) for k, v in pair.items()})
-    configs["train_fit_e2e"] = round(measure_train_fit(), 2)
-    configs["train_fit_e2e_bf16"] = round(
-        measure_train_fit(extras={"train_dtype": "bfloat16"}), 2)
-    record["configs"] = configs
+    t_pair = time.time()
+    when.update({k: t_pair for k in pair})
+    canary.sample()
+    timed("train_fit_e2e", measure_train_fit)
+    timed("train_fit_e2e_bf16",
+          lambda: measure_train_fit(extras={"train_dtype": "bfloat16"}))
+
+    ref = get_canary_ref(canary.median())
+    record = {
+        "metric": "clips_per_sec_per_chip",
+        "value": round(ours, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(ours / baseline, 2),
+        # Drift-normalized twins: raw * (pinned canary ref /
+        # contemporaneous canary) — comparable across rounds.
+        "value_normalized": round(ours * ref / canary.nearest(t_serving), 3),
+        "configs": configs,
+        "configs_normalized": {
+            k: round(v * ref / canary.nearest(when[k]), 2)
+            for k, v in configs.items()},
+        "canary": {
+            "ref": round(ref, 2),
+            "median": round(canary.median(), 2),
+            "drift": round(canary.median() / ref, 4),
+            "samples": [[round(t - canary.samples[0][0], 1), round(v, 2)]
+                        for t, v in canary.samples],
+        },
+    }
     print(json.dumps(record))
 
 

@@ -17,3 +17,37 @@ def test_measure_train_fit_small():
                         note_emb_size=8, staff_emb_size=8),
         spec_shape=(22, 16))
     assert clips_per_sec > 0
+
+
+def test_canary_normalization_logic(tmp_path, monkeypatch):
+    """_Canary nearest-sample lookup + cross-round ref pinning."""
+    import json
+
+    import bench
+
+    class FakeVariant:
+        def __init__(self, rates):
+            self.rates = list(rates)
+
+        def timed_loop(self):
+            return bench.BATCH / self.rates.pop(0)
+
+    c = bench._Canary(FakeVariant([80.0, 60.0, 40.0]))
+    t0 = c.sample() and c.samples[0][0]
+    c.samples[:] = [(0.0, 80.0), (10.0, 60.0), (20.0, 40.0)]
+    assert c.nearest(1.0) == 80.0
+    assert c.nearest(9.0) == 60.0
+    assert c.nearest(100.0) == 40.0
+    assert c.median() == 60.0
+    del t0
+
+    monkeypatch.setattr(bench, "BASELINE_CACHE",
+                        str(tmp_path / "baseline.json"))
+    # First run pins the ref; later runs read it back unchanged.
+    assert bench.get_canary_ref(60.0) == 60.0
+    assert bench.get_canary_ref(90.0) == 60.0
+    data = json.load(open(tmp_path / "baseline.json"))
+    assert data["canary_ref_clips_per_sec"] == 60.0
+    # Normalization: raw * ref / contemporaneous canary.
+    raw, contemporaneous = 50.0, 40.0
+    assert raw * 60.0 / contemporaneous == 75.0
