@@ -346,6 +346,27 @@ def _dual_embed(dual_params, ids2: jnp.ndarray) -> jnp.ndarray:
         dual_params["emb"]["emb"], ids2)
 
 
+def ga_within_bar(gt: jnp.ndarray, dur_frac, pad: int) -> jnp.ndarray:
+    """Within-bar time fraction per token for the guided-attention guide.
+
+    gt: (..., T) token ids; dur_frac: (vocab,) whole-note fraction per
+    DURATION token id (0 elsewhere). Every token of note k expects note
+    k's MIDPOINT: duration tokens sit at cumsum - dur/2 directly;
+    pitch/separator tokens (dur 0) forward-fill the last duration
+    token's midpoint (cum is monotone, so a running max fills exactly)
+    — without the fill they'd point at the NEXT note's onset. Leading
+    non-duration tokens clamp to the bar start; everything normalizes
+    by the bar's total duration."""
+    valid = (gt != pad).astype(jnp.float32)
+    dur = jnp.asarray(dur_frac, jnp.float32)[gt] * valid
+    cum = jnp.cumsum(dur, axis=-1) - dur / 2.0
+    mid = jnp.where(dur > 0, cum, -1.0)
+    mid = jax.lax.cummax(mid, axis=gt.ndim - 1)
+    mid = jnp.maximum(mid, 0.0)
+    total = jnp.maximum(jnp.sum(dur, axis=-1, keepdims=True), 1e-6)
+    return jnp.clip(mid / total, 0.0, 1.0)
+
+
 def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
                            h0, gt_up, gt_low, tf_ratio, train: bool, rng,
                            emit_full: bool = True, ga_frac=None,
@@ -397,19 +418,7 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
         bar_start, bar_span = ga_frac
         valid2 = (gt2 != cfg.pad).astype(jnp.float32)            # (2,B,T)
         if ga_dur_frac is not None:
-            dur = jnp.asarray(ga_dur_frac, jnp.float32)[gt2] * valid2
-            # Every token of note k expects note k's MIDPOINT: duration
-            # tokens sit at cumsum - dur/2 directly; pitch/separator
-            # tokens (dur 0) forward-fill the last duration token's
-            # midpoint (cum is monotone, so a running max fills exactly)
-            # — without this they'd point at the NEXT note's onset.
-            cum = jnp.cumsum(dur, axis=-1) - dur / 2.0
-            mid = jnp.where(dur > 0, cum, -1.0)
-            mid = jax.lax.cummax(mid, axis=2)
-            mid = jnp.maximum(mid, 0.0)
-            total = jnp.maximum(jnp.sum(dur, axis=-1, keepdims=True),
-                                1e-6)
-            within = jnp.clip(mid / total, 0.0, 1.0)             # (2,B,T)
+            within = ga_within_bar(gt2, ga_dur_frac, cfg.pad)    # (2,B,T)
         else:
             len2 = jnp.stack([up_len, low_len]).astype(jnp.float32)
             within = jnp.minimum(

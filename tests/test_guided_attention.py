@@ -219,3 +219,32 @@ def test_audio_frontend_emits_content_fraction():
     frac = np.asarray(out["ga_content"])
     np.testing.assert_allclose(frac, [0.5, 0.8], atol=0.02)
     assert out["spectrogram"].shape[2] == max_frames
+
+
+def test_ga_within_bar_note_midpoints():
+    """Exact semantics of the duration->center map on a hand-built bar:
+    tokens '2 c sep 4 d sep 4 e sep eos' (half + quarter + quarter).
+    Note midpoints in bar time: 0.25, 0.5+0.125=0.625, 0.875 — and every
+    token of a note (duration, pitch, separator) shares its midpoint."""
+    from piano_a2s_tpu.models.score_transcription import ga_within_bar
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from piano_a2s_tpu.train.harness import _duration_fraction_table
+
+    labels = LabelsMultiple(extended=True)
+    full = ModelConfig()  # real vocab ids
+    table = _duration_fraction_table(full.vocab_size)
+    ids = labels.encode("2c 4d 4e") + [full.eos, full.pad, full.pad]
+    gt = jnp.asarray([ids], jnp.int32)
+    within = np.asarray(ga_within_bar(gt, table, full.pad))[0]
+    # token layout: [2, c, sep, 4, d, sep, 4, e, eos?, ...]
+    text = labels.decode(ids[: len(labels.encode("2c 4d 4e"))])
+    # locate the three duration tokens and check their (and their
+    # followers') centers
+    expected = {0: 0.25, 1: 0.25, 2: 0.25,   # half note c
+                3: 0.625, 4: 0.625, 5: 0.625,  # quarter d
+                6: 0.875, 7: 0.875}            # quarter e
+    for t, want in expected.items():
+        np.testing.assert_allclose(within[t], want, atol=1e-6,
+                                   err_msg=f"token {t} ({text})")
+    # eos + pads inherit the last note's midpoint / stay clipped
+    assert abs(within[8] - 0.875) < 1e-6
