@@ -356,7 +356,18 @@ def ga_within_bar(gt: jnp.ndarray, dur_frac, pad: int) -> jnp.ndarray:
     token's midpoint (cum is monotone, so a running max fills exactly)
     — without the fill they'd point at the NEXT note's onset. Leading
     non-duration tokens clamp to the bar start; everything normalizes
-    by the bar's total duration."""
+    by the bar's total duration.
+
+    Scope: time advances at EVERY duration token — correct for the
+    synthetic corpora (data/synth.py joins sequential notes with the
+    '<b>' separator, one duration per note). Real-pipeline targets
+    separate EVENTS with the newline token and chord notes with '<b>',
+    each chord note carrying its own duration token, so chords would
+    double-count here. Guided attention is a synthetic-pretrain aid
+    (OFF by default, and off for real-corpus finetunes — DESIGN §11);
+    a chord-aware map needs event segmentation by the newline token
+    plus per-event max-duration, tied to aligning synth's separator
+    semantics with the real pipeline's."""
     valid = (gt != pad).astype(jnp.float32)
     dur = jnp.asarray(dur_frac, jnp.float32)[gt] * valid
     cum = jnp.cumsum(dur, axis=-1) - dur / 2.0
