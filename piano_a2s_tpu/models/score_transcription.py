@@ -56,6 +56,11 @@ class ModelConfig:
     sos: int = 145
     eos: int = 146
     pad: int = 147
+    # Event separator (the '\n' token): real-pipeline targets separate
+    # simultaneous EVENTS with it; chord notes within an event are joined
+    # by '<b>' (reference: data_processing/humdrum.py:99-127). Drives the
+    # chord-aware guided-attention dispatch (ga_within_bar_auto).
+    newline: int = 143
 
     @property
     def bar_gru_in(self) -> int:
@@ -358,16 +363,13 @@ def ga_within_bar(gt: jnp.ndarray, dur_frac, pad: int) -> jnp.ndarray:
     non-duration tokens clamp to the bar start; everything normalizes
     by the bar's total duration.
 
-    Scope: time advances at EVERY duration token — correct for the
-    synthetic corpora (data/synth.py joins sequential notes with the
-    '<b>' separator, one duration per note). Real-pipeline targets
-    separate EVENTS with the newline token and chord notes with '<b>',
-    each chord note carrying its own duration token, so chords would
-    double-count here. Guided attention is a synthetic-pretrain aid
-    (OFF by default, and off for real-corpus finetunes — DESIGN §11);
-    a chord-aware map needs event segmentation by the newline token
-    plus per-event max-duration, tied to aligning synth's separator
-    semantics with the real pipeline's."""
+    Scope: time advances at EVERY duration token — correct for streams
+    where each duration token is its own sequential note (the legacy
+    chord-free synth corpora join sequential notes with '<b>'). Real-
+    pipeline targets separate EVENTS with the newline token and chord
+    notes with '<b>', each chord note carrying its own duration token,
+    so chords would double-count here — use ga_within_bar_events (or
+    the per-row ga_within_bar_auto dispatch) for those."""
     valid = (gt != pad).astype(jnp.float32)
     dur = jnp.asarray(dur_frac, jnp.float32)[gt] * valid
     cum = jnp.cumsum(dur, axis=-1) - dur / 2.0
@@ -376,6 +378,58 @@ def ga_within_bar(gt: jnp.ndarray, dur_frac, pad: int) -> jnp.ndarray:
     mid = jnp.maximum(mid, 0.0)
     total = jnp.maximum(jnp.sum(dur, axis=-1, keepdims=True), 1e-6)
     return jnp.clip(mid / total, 0.0, 1.0)
+
+
+def ga_within_bar_events(gt: jnp.ndarray, dur_frac, pad: int,
+                         sep: int) -> jnp.ndarray:
+    """Chord-aware within-bar time fraction: EVENT-segmented centers.
+
+    Real-pipeline targets (reference: data_processing/humdrum.py:99-127)
+    separate simultaneous events with the newline token `sep` and join a
+    chord's notes with '<b>', each note carrying its OWN duration token.
+    Time therefore advances once per EVENT, by the event's max duration
+    (chord notes share the event duration; multi-voice tab columns are
+    approximated by the max — the guide is a prior, not a loss target).
+    Every token of event k expects event k's temporal MIDPOINT.
+
+    Vectorized over (..., T): event ids come from a cumsum over shifted
+    separator flags; per-event max/size/start reduce over a (..., T, T)
+    same-event mask (T<=398 → a few MB transient, computed once per
+    forward, no gradient flows through it). Each position contributes
+    its event's duration divided by the event's size, so summing those
+    contributions over earlier-event positions counts every earlier
+    event exactly once. Trailing <pad>/<eos> merge into the last event
+    with zero duration — they inflate neither the event max nor the
+    totals."""
+    valid = (gt != pad).astype(jnp.float32)
+    dur = jnp.asarray(dur_frac, jnp.float32)[gt] * valid
+    is_sep = (gt == sep)
+    new_event = jnp.concatenate(
+        [jnp.ones_like(is_sep[..., :1]), is_sep[..., :-1]], axis=-1)
+    seg = jnp.cumsum(new_event.astype(jnp.int32), axis=-1)   # (..., T) >= 1
+    same = seg[..., :, None] == seg[..., None, :]            # (..., T, T)
+    event_dur = jnp.max(jnp.where(same, dur[..., None, :], 0.0), axis=-1)
+    seg_size = jnp.maximum(jnp.sum(same, axis=-1), 1).astype(jnp.float32)
+    per_pos = event_dur / seg_size
+    earlier = seg[..., None, :] < seg[..., :, None]
+    start = jnp.sum(jnp.where(earlier, per_pos[..., None, :], 0.0), axis=-1)
+    total = jnp.maximum(jnp.sum(per_pos, axis=-1, keepdims=True), 1e-6)
+    return jnp.clip((start + event_dur / 2.0) / total, 0.0, 1.0)
+
+
+def ga_within_bar_auto(gt: jnp.ndarray, dur_frac, pad: int,
+                       sep: int) -> jnp.ndarray:
+    """Per-row dispatch between the two bar-time maps: rows containing
+    the event separator (real-pipeline / chordal-synth targets) use the
+    event-segmented map; separator-free rows (legacy chord-free synth
+    streams, one duration per sequential note) keep the per-duration
+    token map. Both maps are computed (cheap, once per forward) and the
+    choice is a data-dependent select, so one compiled program covers
+    mixed batches."""
+    token_map = ga_within_bar(gt, dur_frac, pad)
+    event_map = ga_within_bar_events(gt, dur_frac, pad, sep)
+    has_sep = jnp.any(gt == sep, axis=-1, keepdims=True)
+    return jnp.where(has_sep, event_map, token_map)
 
 
 def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
@@ -429,7 +483,8 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
         bar_start, bar_span = ga_frac
         valid2 = (gt2 != cfg.pad).astype(jnp.float32)            # (2,B,T)
         if ga_dur_frac is not None:
-            within = ga_within_bar(gt2, ga_dur_frac, cfg.pad)    # (2,B,T)
+            within = ga_within_bar_auto(gt2, ga_dur_frac, cfg.pad,
+                                        cfg.newline)             # (2,B,T)
         else:
             len2 = jnp.stack([up_len, low_len]).astype(jnp.float32)
             within = jnp.minimum(

@@ -169,6 +169,11 @@ class Trainer:
         self.ga_weight = float(exp.extras.get("guided_attention", 0.0))
         self.ga_sigma = float(exp.extras.get("guided_attention_sigma",
                                              0.15))
+        if self.ga_weight > 0 and self.ga_sigma <= 0:
+            raise ValueError(
+                "extras guided_attention > 0 requires "
+                "guided_attention_sigma > 0 (a zero-width guide is no "
+                f"guide); got sigma={self.ga_sigma}")
         # (vocab,) whole-note fraction per DURATION token id (0 for
         # pitch/separator/control ids): lets the guide place each step's
         # expected attention center at its token's CUMULATIVE bar-time

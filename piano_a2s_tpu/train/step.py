@@ -130,6 +130,10 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
     (matmuls + saved activations bf16, BN stats f32). `prep` maps the
     uploaded batch to the model's input contract (staged-dtype promotion
     by default; the on-device VQT frontend for audio batches)."""
+    # A zero-width guide is no guide: without this gate, ga_weight > 0
+    # with ga_sigma == 0 would make the loss index an aux key the forward
+    # never produced (KeyError at trace time).
+    ga_weight = ga_weight if ga_sigma > 0 else 0.0
     batch = prep(batch)
 
     def loss_fn(p):
@@ -190,6 +194,7 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
     running stats (ops/layers.batch_norm), so microbatches 1..k-1 see no
     difference from the discarded updates.
     """
+    ga_weight = ga_weight if ga_sigma > 0 else 0.0  # see train_step
     # prep (staged-dtype promotion / on-device VQT) runs INSIDE the
     # microbatch body: only one microbatch's f32 spectrogram is ever live
     # (totals depend only on the targets, which prep never touches).

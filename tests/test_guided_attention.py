@@ -248,3 +248,79 @@ def test_ga_within_bar_note_midpoints():
                                    err_msg=f"token {t} ({text})")
     # eos + pads inherit the last note's midpoint / stay clipped
     assert abs(within[8] - 0.875) < 1e-6
+
+
+def test_ga_within_bar_events_chord_midpoints():
+    """Chord-aware event map on a hand-built chordal bar:
+    '2c 2e\\n4d\\n4e' = a half-note CHORD event, then two quarter events.
+    Event midpoints in bar time: 0.25, 0.625, 0.875 — the chord's two
+    duration tokens advance time ONCE (the per-duration token map would
+    count the chord twice: total 1.5 whole notes instead of 1.0)."""
+    from piano_a2s_tpu.models.score_transcription import (
+        ga_within_bar, ga_within_bar_events)
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from piano_a2s_tpu.train.harness import _duration_fraction_table
+
+    labels = LabelsMultiple(extended=True)
+    full = ModelConfig()
+    table = _duration_fraction_table(full.vocab_size)
+    ids = labels.encode("2c 2e\n4d\n4e") + [full.eos, full.pad, full.pad]
+    gt = jnp.asarray([ids], jnp.int32)
+    ev = np.asarray(ga_within_bar_events(gt, table, full.pad,
+                                         full.newline))[0]
+    # tokens: [2 c <b> 2 e \n | 4 d \n | 4 e eos pad pad]
+    want = [0.25] * 6 + [0.625] * 3 + [0.875] * 5
+    np.testing.assert_allclose(ev, want, atol=1e-6)
+    # and the legacy token map WOULD double-count the chord (regression
+    # guard for why the event map exists)
+    tok = np.asarray(ga_within_bar(gt, table, full.pad))[0]
+    assert abs(tok[0] - 0.25) > 0.05
+
+
+def test_ga_within_bar_auto_dispatch():
+    """Rows WITH the event separator get the event map; separator-free
+    rows (legacy chord-free synth streams) keep the token map — in one
+    compiled program over a mixed batch."""
+    from piano_a2s_tpu.models.score_transcription import (
+        ga_within_bar, ga_within_bar_auto, ga_within_bar_events)
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from piano_a2s_tpu.train.harness import _duration_fraction_table
+
+    labels = LabelsMultiple(extended=True)
+    full = ModelConfig()
+    table = _duration_fraction_table(full.vocab_size)
+    chordal = labels.encode("2c 2e\n4d\n4e") + [full.eos, full.pad,
+                                                full.pad]
+    legacy = labels.encode("2c 4d 4e") + [full.eos] + [full.pad] * 5
+    T = max(len(chordal), len(legacy))
+    rows = [r + [full.pad] * (T - len(r)) for r in (chordal, legacy)]
+    gt = jnp.asarray(rows, jnp.int32)
+    auto = np.asarray(ga_within_bar_auto(gt, table, full.pad,
+                                         full.newline))
+    ev = np.asarray(ga_within_bar_events(gt, table, full.pad,
+                                         full.newline))
+    tok = np.asarray(ga_within_bar(gt, table, full.pad))
+    np.testing.assert_allclose(auto[0], ev[0])
+    np.testing.assert_allclose(auto[1], tok[1])
+
+
+def test_ga_event_map_ties_and_rests():
+    """Ties and rests advance event time like any duration: '[2c' then
+    '2c]' in the next position chain two half-note events; a rest event
+    occupies its slot. Centers follow the event grid exactly."""
+    from piano_a2s_tpu.models.score_transcription import (
+        ga_within_bar_events)
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from piano_a2s_tpu.train.harness import _duration_fraction_table
+
+    labels = LabelsMultiple(extended=True)
+    full = ModelConfig()
+    table = _duration_fraction_table(full.vocab_size)
+    # [2c | 4r | 4c] : tie-open half, quarter rest, tied quarter close
+    ids = labels.encode("[2c\n4r\n4c]") + [full.eos, full.pad]
+    gt = jnp.asarray([ids], jnp.int32)
+    ev = np.asarray(ga_within_bar_events(gt, table, full.pad,
+                                         full.newline))[0]
+    # tokens: [ [ 2 c \n | 4 r \n | 4 c ] eos pad ]
+    want = [0.25] * 4 + [0.625] * 3 + [0.875] * 5
+    np.testing.assert_allclose(ev, want, atol=1e-6)
