@@ -98,7 +98,12 @@ def _mv2h_one(results_dir: str, split_dir: str, result_file: str,
         metrics = run_mv2h_pair(paths["target_midi"], paths["pred_midi"],
                                 mv2h_bin, timeout)
     if metrics is None:
-        return None
+        # A scorer failure is an ERROR, not a silent omission: dropping
+        # the clip from both errors.txt and the average would inflate
+        # the reported MV2H (e.g. engine="java" forced on a java-free
+        # host returns None for EVERY clip and would print a perfect
+        # "0 errors" summary over 0 clips).
+        return id_
     if metrics.get("MV2H", 0) == 0:
         return id_
     with open(paths["mv2h"], "w") as f:
@@ -242,20 +247,39 @@ def summarize_wer_and_f1(results_dir: str, split: str = "test"):
     return metrics, i
 
 
+def muster_engine(muster_script: str) -> str:
+    """'external' when the canonical MUSTER script can run, else 'native'
+    (train/muster.py) — the same one-engine-per-run rule as MV2H."""
+    if muster_script and (os.path.exists(muster_script)
+                          or shutil.which(muster_script)):
+        return "external"
+    return "native"
+
+
 def get_muster_er(results_dir: str,
-                  muster_script: str = "./MUSTER/evaluate_XML_voicePlus.sh"):
+                  muster_script: str = "./MUSTER/evaluate_XML_voicePlus.sh",
+                  engine: str = "auto"):
     """MUSTER 11-component score error rate over exported XML pairs
-    (reference: evaluate.py:137-163). Requires the external MUSTER tool."""
+    (reference: evaluate.py:137-163). The external MUSTER tool is
+    canonical when present; otherwise the native scorer (train/muster.py,
+    same component inventory) runs the same pairs, so the metric works
+    end-to-end on tool-free hosts — the same fallback design as MV2H.
+    `engine`: 'auto' | 'external' | 'native'. Returns (mean_ers, n)."""
     pred_folder = os.path.join(results_dir, "results", "scores", "pred")
     target_folder = os.path.join(results_dir, "results", "scores", "target")
     mv2h_folder = os.path.join(results_dir, "results", "mv2h")
     ers = np.zeros(11)
-    if not (os.path.exists(muster_script) or shutil.which(muster_script)) \
-            or not os.path.isdir(mv2h_folder):
-        # Graceful skip WITHOUT touching cwd state: the per-pair unlink
-        # below would otherwise destroy a user's ER.txt for nothing.
-        # (mv2h_folder only exists once get_mv2h_from_test has run —
-        # MUSTER consumes the XML pairs that stage exports.)
+    if engine == "auto":
+        engine = muster_engine(muster_script)
+    if not os.path.isdir(mv2h_folder):
+        # mv2h_folder only exists once get_mv2h_from_test has run —
+        # MUSTER consumes the XML pairs that stage exports.
+        return ers, 0
+    if engine == "external" and not (os.path.exists(muster_script)
+                                     or shutil.which(muster_script)):
+        # Forced-external without the tool: graceful skip WITHOUT
+        # touching cwd state (the per-pair unlink below would otherwise
+        # destroy a user's ER.txt for nothing).
         return ers, 0
     files = [f[:-10] for f in os.listdir(mv2h_folder) if f.endswith(".json")]
     i = 0
@@ -263,21 +287,27 @@ def get_muster_er(results_dir: str,
         try:
             pred = os.path.join(pred_folder, file + "_pred")
             target = os.path.join(target_folder, file + "_target")
-            # Deliberate divergence from the reference: MUSTER writes
-            # ER.txt into the cwd, and evaluate.py:149-152 reads it with
-            # no freshness check — a failed run silently re-counts the
-            # PREVIOUS pair's numbers. Unlink first so a failure skips.
-            if os.path.exists("ER.txt"):
-                os.remove("ER.txt")
-            subprocess.run([muster_script, pred, target, "ER"],
-                           stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL, timeout=30)
-            with open("ER.txt") as f:
-                line = f.readline().strip()
-            current = np.array([float(x) for x in
-                                line.split(",")[12].split("\t")[1:]])
+            if engine == "native":
+                from .muster import native_muster_pair
+                current = native_muster_pair(target + ".xml",
+                                             pred + ".xml")
+            else:
+                # Deliberate divergence from the reference: MUSTER writes
+                # ER.txt into the cwd, and evaluate.py:149-152 reads it
+                # with no freshness check — a failed run silently
+                # re-counts the PREVIOUS pair's numbers. Unlink first so
+                # a failure skips.
+                if os.path.exists("ER.txt"):
+                    os.remove("ER.txt")
+                subprocess.run([muster_script, pred, target, "ER"],
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL, timeout=30)
+                with open("ER.txt") as f:
+                    line = f.readline().strip()
+                current = np.array([float(x) for x in
+                                    line.split(",")[12].split("\t")[1:]])
             if len(current) != 11 or np.isnan(current).any():
-                continue  # malformed ER.txt: skip, never mis-broadcast
+                continue  # malformed output: skip, never mis-broadcast
         except Exception:
             continue
         ers += current
