@@ -54,10 +54,23 @@ class TranscriptionService:
     """
 
     def __init__(self, transcriber, max_batch: int = 16,
-                 max_wait_ms: float = 20.0):
+                 max_wait_ms: float = 20.0,
+                 fullness_target: float = 0.0,
+                 fullness_extra_ms: float = 0.0):
         self.transcriber = transcriber
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
+        # Batch-FULLNESS admission window (the serial worker's remaining
+        # lever — see _run): after max_wait expires, a batch below
+        # fullness_target * max_batch clips may wait up to
+        # fullness_extra_ms longer for the clients released by the
+        # PREVIOUS batch to resubmit (closed-loop populations arrive in
+        # waves phased with batch completions, so the plain window
+        # systematically under-fills). 0 disables (the shipped default;
+        # the load-test table in docs/DESIGN.md drives the recommended
+        # settings).
+        self.fullness_target = max(0.0, min(1.0, float(fullness_target)))
+        self.fullness_extra = float(fullness_extra_ms) / 1e3
         self._lock = threading.Lock()
         self._queue: List[dict] = []
         self._wakeup = threading.Event()
@@ -104,11 +117,21 @@ class TranscriptionService:
                     # can't swallow close()'s final set().)
                     self._wakeup.clear()
                     continue
-            deadline = time.monotonic() + self.max_wait
+            now = time.monotonic()
+            deadline = now + self.max_wait
+            # The admission window: a hard cap on how much LONGER an
+            # under-full batch may wait after the base window.
+            extended = deadline + self.fullness_extra
+            need = int(self.fullness_target * self.max_batch)
             while True:
                 with self._lock:
-                    if len(self._queue) >= self.max_batch or self._closed \
-                            or time.monotonic() >= deadline:
+                    now = time.monotonic()
+                    ready = (len(self._queue) >= self.max_batch
+                             or self._closed
+                             or (now >= deadline
+                                 and (len(self._queue) >= need
+                                      or now >= extended)))
+                    if ready:
                         batch = self._queue[: self.max_batch]
                         del self._queue[: len(batch)]
                         # Never clear after close(): its set() is the
@@ -310,13 +333,17 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(transcriber, host: str = "127.0.0.1", port: int = 8080,
                 max_batch: int = 16, max_wait_ms: float = 20.0,
+                fullness_target: float = 0.0,
+                fullness_extra_ms: float = 0.0,
                 log_requests: bool = False) -> ThreadingHTTPServer:
     """Build (not start) the server; `.service` hangs off the instance.
     Call serve_forever() to run, shutdown() + service.close() to stop."""
     import jax
 
     service = TranscriptionService(transcriber, max_batch=max_batch,
-                                   max_wait_ms=max_wait_ms)
+                                   max_wait_ms=max_wait_ms,
+                                   fullness_target=fullness_target,
+                                   fullness_extra_ms=fullness_extra_ms)
     cfg = transcriber.cfg
 
     class Handler(_Handler):
@@ -361,6 +388,14 @@ def main(argv=None):
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--max-wait-ms", type=float, default=20.0,
                         help="batching window after the first request")
+    parser.add_argument("--fullness-target", type=float, default=0.0,
+                        help="fraction of max-batch an under-full batch "
+                             "may keep waiting for after the base window "
+                             "(0 disables the admission window)")
+    parser.add_argument("--fullness-extra-ms", type=float, default=0.0,
+                        help="hard cap on the ADDITIONAL wait an "
+                             "under-full batch spends chasing "
+                             "--fullness-target")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
 
@@ -409,9 +444,14 @@ def main(argv=None):
 
     httpd = make_server(tr, args.host, args.port,
                         max_batch=args.max_batch,
-                        max_wait_ms=args.max_wait_ms, log_requests=True)
+                        max_wait_ms=args.max_wait_ms,
+                        fullness_target=args.fullness_target,
+                        fullness_extra_ms=args.fullness_extra_ms,
+                        log_requests=True)
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
-          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms, "
+          f"fullness={args.fullness_target}"
+          f"+{args.fullness_extra_ms}ms)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -180,6 +180,74 @@ def test_service_direct_and_close():
         svc.submit(np.zeros(1000, np.float32))
 
 
+class _FakeTranscriber:
+    """Deterministic stand-in for batching-semantics tests: records the
+    batch sizes the worker forms, no device work."""
+
+    def __init__(self, device_s=0.0):
+        self.batches = []
+        self.device_s = device_s
+
+    def prepare_batch(self, clips):
+        return list(clips), len(clips)
+
+    def transcribe_prepared(self, specs, n, timings=None):
+        import time as _t
+
+        self.batches.append(n)
+        if self.device_s:
+            _t.sleep(self.device_s)
+        return [[0]] * n
+
+
+def test_fullness_window_fills_underfull_batches():
+    """The admission window: with fullness_target set, a batch that is
+    under-full when the base window expires keeps waiting (bounded by
+    fullness_extra_ms) for stragglers — so staggered arrivals land in ONE
+    batch instead of two. With the window off, the same pattern splits."""
+    import time
+
+    for target, extra_ms in ((1.0, 2000.0), (0.0, 0.0)):
+        fake = _FakeTranscriber()
+        svc = TranscriptionService(fake, max_batch=4, max_wait_ms=30,
+                                   fullness_target=target,
+                                   fullness_extra_ms=extra_ms)
+        threads = []
+        for i in range(4):
+            t = threading.Thread(target=svc.submit,
+                                 args=(np.zeros(8, np.float32),))
+            threads.append(t)
+            t.start()
+            time.sleep(0.06)  # arrivals straggle past the 30 ms window
+        for t in threads:
+            t.join(timeout=30)
+        svc.close()
+        if target:
+            # the admission window holds the batch until it is FULL
+            assert fake.batches == [4], fake.batches
+        else:
+            # without it, the same arrival pattern splits into several
+            # under-full batches
+            assert len(fake.batches) >= 2, fake.batches
+
+
+def test_fullness_extra_is_a_hard_cap():
+    """An unreachable target must still release the batch once the extra
+    window expires (no starvation)."""
+    import time
+
+    fake = _FakeTranscriber()
+    svc = TranscriptionService(fake, max_batch=8, max_wait_ms=10,
+                               fullness_target=1.0,
+                               fullness_extra_ms=80.0)
+    t0 = time.monotonic()
+    svc.submit(np.zeros(8, np.float32), timeout=30)
+    dt = time.monotonic() - t0
+    svc.close()
+    assert fake.batches == [1]
+    assert dt < 5.0  # released at the cap, not starved
+
+
 def test_service_close_with_inflight_request():
     """close() while a request is queued must flush it and join the
     worker promptly (a regression here left the worker stranded in
