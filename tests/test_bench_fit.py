@@ -20,7 +20,8 @@ def test_measure_train_fit_small():
 
 
 def test_canary_normalization_logic(tmp_path, monkeypatch):
-    """_Canary nearest-sample lookup + cross-round ref pinning."""
+    """_Canary interpolated lookup + cross-round ref pinning.
+    (Bracketing/dip-flag details live in tests/test_bench_canary.py.)"""
     import json
 
     import bench
@@ -35,9 +36,9 @@ def test_canary_normalization_logic(tmp_path, monkeypatch):
     c = bench._Canary(FakeVariant([80.0, 60.0, 40.0]))
     t0 = c.sample() and c.samples[0][0]
     c.samples[:] = [(0.0, 80.0), (10.0, 60.0), (20.0, 40.0)]
-    assert c.nearest(1.0) == 80.0
-    assert c.nearest(9.0) == 60.0
-    assert c.nearest(100.0) == 40.0
+    assert c.at(0.0) == 80.0
+    assert c.at(5.0) == 70.0     # linear between brackets
+    assert c.at(100.0) == 40.0   # clamped outside the range
     assert c.median() == 60.0
     del t0
 

@@ -39,12 +39,24 @@ def test_export_and_error_handling_without_java(tmp_path):
     out = str(tmp_path / "out")
     _make_results(out)
     errors = get_mv2h_from_test(out, "test", mv2h_bin="/nonexistent")
-    # Export succeeded for every clip (no errors); MV2H itself skipped.
-    assert errors == []
+    # Exports succeed for every clip, but a java engine without java is
+    # a SCORER failure for each — recorded in errors.txt, never silently
+    # dropped from the average (ADVICE r4: the old behavior printed
+    # '0 errors' and summarized over 0 clips). The CLI auto-resolves to
+    # the native engine instead of ever hitting this path.
+    assert len(errors) == 2
     for sub in ("scores/pred", "scores/target", "midi/pred", "midi/target"):
         files = os.listdir(os.path.join(out, "results", sub))
         assert len(files) == 2, sub
-    assert os.path.exists(os.path.join(out, "results", "errors.txt"))
+    with open(os.path.join(out, "results", "errors.txt")) as f:
+        assert len(f.read().splitlines()) == 2
+    # no per-clip metric JSONs were written for the failed scorer runs
+    assert os.listdir(os.path.join(out, "results", "mv2h")) == []
+    # the native engine scores the SAME exports end-to-end
+    errors = get_mv2h_from_test(out, "test", mv2h_bin="/nonexistent",
+                                engine="native")
+    assert errors == []
+    assert len(os.listdir(os.path.join(out, "results", "mv2h"))) == 2
 
 
 def test_summarize_wer_and_f1(tmp_path):
