@@ -203,13 +203,16 @@ mv2h_timeout: 120
                              "0~songA.0~Upright_mv2h.json")
     assert os.path.exists(mv2h_json)
     # MUSTER summary over the one exported pair, replayed components
-    assert "MUSTER ER over 1 pairs: [0.1," in r.stdout
+    # (labeled external — the canonical engine when the script exists)
+    assert "MUSTER (external) ER over 1 pairs: [0.1," in r.stdout
 
 
 def test_evaluate_cli_muster_skips_explicitly(tmp_path):
-    """--muster without the tool (or without MV2H exports) prints an
-    explicit skip notice — never an all-zero 'ER over 0 pairs' that reads
-    as a perfect score, and never a crash on the absent mv2h folder."""
+    """--muster-engine external without the tool (or --muster without
+    MV2H exports) prints an explicit skip notice — never an all-zero
+    'ER over 0 pairs' that reads as a perfect score, and never a crash
+    on the absent mv2h folder. Plain --muster without the tool falls
+    back to the NATIVE scorer instead of skipping."""
     from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
     from test_external_tool_contracts import (FAKE_MUSTER,
                                               _make_result_fixture)
@@ -227,7 +230,21 @@ feature_folder: {tmp_path}/features
 """)
     env = dict(os.environ, PYTHONPATH=REPO_ROOT)
 
-    # Tool missing (no java either -> no MV2H stage ran, mv2h/ absent).
+    # FORCED external with the tool missing: explicit skip.
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"),
+         str(yaml_path), "--muster", "--muster-engine", "external",
+         "--muster-script", str(tmp_path / "missing.sh")],
+        capture_output=True, text=True, timeout=240, cwd=str(tmp_path),
+        env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "skipping MUSTER" in r.stdout
+    assert "MUSTER tool not found" in r.stdout
+    assert "ER over" not in r.stdout
+
+    # Auto-resolution with the tool missing: the NATIVE scorer runs the
+    # exported pair end-to-end (identical pred/target -> all-zero ERs,
+    # labeled with the engine + component names).
     r = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "evaluate.py"),
          str(yaml_path), "--muster", "--muster-script",
@@ -235,8 +252,8 @@ feature_folder: {tmp_path}/features
         capture_output=True, text=True, timeout=240, cwd=str(tmp_path),
         env=env)
     assert r.returncode == 0, r.stdout + r.stderr
-    assert "skipping MUSTER" in r.stdout
-    assert "MUSTER ER over" not in r.stdout
+    assert "MUSTER (native) ER over 1 pairs:" in r.stdout
+    assert "'note_duration': 0.0" in r.stdout
 
     # Tool present but zero successful MV2H exports (an empty results
     # split -> mv2h/ exists but is EMPTY): explicit notice, never an

@@ -86,11 +86,12 @@ def test_full_circle(tmp_path):
                 DataLoader(test_ds, 2), epochs=1)
     trainer.evaluate(DataLoader(test_ds, 2))
 
-    # Stage 4: offline export from the evaluation records (the MV2H input
-    # path, minus the external Java tool)
+    # Stage 4: offline export from the evaluation records + the native
+    # MV2H scorer (the engine the CLI resolves to without java)
     assert os.listdir(os.path.join(out, "results", "test"))
-    errors = get_mv2h_from_test(out, "test", mv2h_bin="/nonexistent")
-    assert errors == []  # every pred AND target exported cleanly
+    errors = get_mv2h_from_test(out, "test", mv2h_bin="/nonexistent",
+                                engine="native")
+    assert errors == []  # every pred AND target exported AND scored
     exported = os.listdir(os.path.join(out, "results", "midi", "target"))
     assert len(exported) == len(os.listdir(
         os.path.join(out, "results", "test")))
