@@ -38,7 +38,6 @@ def inspect_attention(trainer, batch, prep=None, bar: int = 0,
     import jax.numpy as jnp
 
     import piano_a2s_tpu.models.score_transcription as M
-    from piano_a2s_tpu.models.score_transcription import ga_within_bar
     from piano_a2s_tpu.ops import attention as A
     from piano_a2s_tpu.ops import gru as G
     from piano_a2s_tpu.ops import layers as L
@@ -91,8 +90,11 @@ def inspect_attention(trainer, batch, prep=None, bar: int = 0,
     gt = gt_all[:, bar]
 
     dur_tab = _duration_fraction_table(cfg.vocab_size)
-    within = np.asarray(ga_within_bar(
-        jnp.asarray(gt[clip: clip + 1], jnp.int32), dur_tab, cfg.pad))[0]
+    # The auto dispatch matches training: chordal rows (newline event
+    # separators) use the event-segmented map, legacy rows the token map.
+    within = np.asarray(M.ga_within_bar_auto(
+        jnp.asarray(gt[clip: clip + 1], jnp.int32), dur_tab, cfg.pad,
+        cfg.newline))[0]
     content = np.asarray(dev["ga_content"])[clip] \
         if "ga_content" in dev else 1.0
     expected = ((bar + within) / cfg.max_bars * content * T_enc).astype(int)
