@@ -44,6 +44,8 @@ def main(argv=None):
 
     exp = load_experiment(args.hparams, args.overrides)
     os.makedirs(exp.output_folder, exist_ok=True)
+    # Snapshot the resolved config into the run dir (reference: pretrain.py:263-267).
+    exp.snapshot(exp.output_folder)
 
     if args.data_parallel:
         import jax

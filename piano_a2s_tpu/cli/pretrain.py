@@ -52,6 +52,8 @@ def main(argv=None):
     if args.profile:
         exp.extras["profile"] = True
     os.makedirs(exp.output_folder, exist_ok=True)
+    # Snapshot the resolved config into the run dir (reference: pretrain.py:263-267).
+    exp.snapshot(exp.output_folder)
 
     if args.data_parallel:
         # torchrun semantics: batch_size is PER DEVICE (the reference runs

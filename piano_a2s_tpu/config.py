@@ -158,6 +158,22 @@ class ExperimentConfig:
         out.extras = extras
         return out
 
+    def snapshot(self, folder: str) -> str:
+        """Write the fully-resolved config (fields + extras, overrides
+        applied, references interpolated) to <folder>/hyperparams.yaml —
+        the reference's create_experiment_directory snapshot semantics
+        (reference: pretrain.py:263-267): every run directory records
+        exactly what it ran with."""
+        import os
+        d = dataclasses.asdict(self)
+        d.update(d.pop("extras"))
+        d["max_length"] = list(self.max_length)
+        os.makedirs(folder, exist_ok=True)
+        path = os.path.join(folder, "hyperparams.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(d, f, sort_keys=False)
+        return path
+
     @property
     def max_samples(self) -> int:
         """Samples per clip for raw-audio features: the audio that VQT

@@ -282,3 +282,25 @@ feature_folder: {tmp_path}/features
     assert "MV2H export errors: 0" in r.stdout
     assert "no MV2H exports yet" in r.stdout
     assert "MUSTER ER over" not in r.stdout
+
+
+def test_resolved_config_snapshot_roundtrips(tmp_path):
+    """The run dir records exactly what it ran with (reference:
+    pretrain.py:263-267 create_experiment_directory semantics), and the
+    snapshot is itself loadable — a rerun from <out>/hyperparams.yaml
+    reproduces the resolved config, overrides and extras included."""
+    from piano_a2s_tpu.config import load_experiment
+
+    exp = load_experiment(
+        os.path.join(REPO_ROOT, "configs", "pretrain.yaml"),
+        ["patient=6", "guided_attention=4.0",
+         f"output_folder={tmp_path}/run"])
+    path = exp.snapshot(str(tmp_path / "run"))
+    assert os.path.basename(path) == "hyperparams.yaml"
+    again = load_experiment(path)
+    assert again.patient == 6
+    assert again.extras["guided_attention"] == 4.0
+    # Interpolations were resolved BEFORE the snapshot: derived paths
+    # follow the overridden output_folder, not the template.
+    assert again.save_folder == f"{tmp_path}/run/save"
+    assert again.max_length == exp.max_length
