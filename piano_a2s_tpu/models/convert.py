@@ -135,6 +135,95 @@ def from_torch_state_dict(state_dict: Mapping[str, Any],
     return params, state
 
 
+def to_torch_state_dict(params, state, cfg: ModelConfig = ModelConfig()):
+    """JAX params/state -> reference ``ScoreTranscription.state_dict()``.
+
+    Exact inverse of :func:`from_torch_state_dict` (every layout permutation
+    reversed), so checkpoints trained in this framework can be exported back
+    into the PyTorch reference ecosystem (reference model: models.py) and
+    loaded with ``tm.load_state_dict(sd)`` strictly.  BatchNorm
+    ``num_batches_tracked`` counters — which carry no information the
+    momentum-updated running stats don't — are emitted as 0.
+    """
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.array(x))  # copy: jax buffers are read-only
+
+    sd: Dict[str, Any] = {}
+
+    def put_linear(name, p):
+        sd[f"{name}.weight"] = t(p["w"]).T.contiguous()
+        if "b" in p:
+            sd[f"{name}.bias"] = t(p["b"])
+
+    def put_gru_dir(name, p, layer, reverse=False):
+        sfx = f"l{layer}" + ("_reverse" if reverse else "")
+        sd[f"{name}.weight_ih_{sfx}"] = t(p["w_ih"]).T.contiguous()
+        sd[f"{name}.weight_hh_{sfx}"] = t(p["w_hh"]).T.contiguous()
+        sd[f"{name}.bias_ih_{sfx}"] = t(p["b_ih"])
+        sd[f"{name}.bias_hh_{sfx}"] = t(p["b_hh"])
+
+    def put_attention(name, p):
+        w_query = t(p["w_query"]).T  # (H, 2H)
+        w_enc = t(p["w_enc"]).T      # (H, 2H)
+        sd[f"{name}.attn.weight"] = torch.cat([w_query, w_enc],
+                                              dim=1).contiguous()
+        sd[f"{name}.attn.bias"] = t(p["b"])
+        sd[f"{name}.v.weight"] = t(p["v"])[None, :].contiguous()
+
+    def put_bn(name, p, s):
+        sd[f"{name}.weight"] = t(p["scale"])
+        sd[f"{name}.bias"] = t(p["bias"])
+        sd[f"{name}.running_mean"] = t(s["mean"])
+        sd[f"{name}.running_var"] = t(s["var"])
+        sd[f"{name}.num_batches_tracked"] = torch.tensor(0,
+                                                         dtype=torch.int64)
+
+    def put_note_decoder(name, p):
+        sd[f"{name}.embedding.weight"] = t(p["emb"]["emb"])
+        put_attention(f"{name}.attn", p["attn"])
+        put_gru_dir(f"{name}.gru", p["gru"], 0)
+        put_linear(f"{name}.out", p["out"])
+
+    cs, cstate = params["convstack"], state["convstack"]
+    for i in (1, 2, 3, 4):
+        w = t(cs[f"conv{i}"]["w"])  # HWIO
+        sd[f"convstack.conv{i}.weight"] = w.permute(3, 2, 0, 1).contiguous()
+        put_bn(f"convstack.bn{i}", cs[f"bn{i}"], cstate[f"bn{i}"])
+    # Invert the flatten-order permutation (see from_torch_state_dict):
+    # ours is (F*C, out) flattened f*C + c; torch wants (out, C*F), c*F + f.
+    w_out = t(cs["out"]["w"]).T  # (out, F*C)
+    out_ch = w_out.shape[0]
+    w_out = w_out.reshape(out_ch, cfg.freq_bins, 40)
+    sd["convstack.out.weight"] = (
+        w_out.permute(0, 2, 1).reshape(out_ch, -1).contiguous())
+    put_bn("convstack.out_bn", cs["out_bn"], cstate["out_bn"])
+
+    enc = params["encoder"]
+    put_gru_dir("encoder.gru", enc["l0_fwd"], 0)
+    put_gru_dir("encoder.gru", enc["l0_bwd"], 0, reverse=True)
+    put_gru_dir("encoder.gru", enc["l1_fwd"], 1)
+    put_gru_dir("encoder.gru", enc["l1_bwd"], 1, reverse=True)
+    put_linear("encoder.fc", enc["fc"])
+
+    dec = params["decoder"]
+    sd["decoder.note_emb.weight"] = t(dec["note_emb"]["emb"])
+    sd["decoder.time_sig_emb.weight"] = t(dec["time_sig_emb"]["emb"])
+    sd["decoder.key_emb.weight"] = t(dec["key_emb"]["emb"])
+    put_gru_dir("decoder.staff_emb", dec["staff_fwd"], 0)
+    put_gru_dir("decoder.staff_emb", dec["staff_bwd"], 0, reverse=True)
+    put_attention("decoder.attn", dec["attn"])
+    put_gru_dir("decoder.gru", dec["gru"], 0)
+    for head, tname in (("time_head", "decoder.time_sig_out"),
+                        ("key_head", "decoder.key_out")):
+        for li, ti in (("l1", 0), ("l2", 2), ("l3", 4)):
+            put_linear(f"{tname}.{ti}", dec[head][li])
+    put_note_decoder("decoder.upper_decoder", dec["upper"])
+    put_note_decoder("decoder.lower_decoder", dec["lower"])
+    return sd
+
+
 def load_torch_checkpoint(path: str, cfg: ModelConfig = ModelConfig()):
     """Load a torch .ckpt/.pt file (CPU) and convert."""
     import torch

@@ -96,3 +96,47 @@ def test_convert_cli_roundtrip(tmp_path):
                                         batch)
     assert np.isfinite(float(jax.device_get(out_eval.loss)))
     assert preds["upper_tokens"].shape == (2, 2, 6)
+
+
+def test_export_cli_full_cycle(tmp_path):
+    """torch reference save -> import CLI -> export CLI -> state_dict that
+    matches the original tensors exactly (the bidirectional checkpoint
+    migration story)."""
+    import torch
+
+    src = _make_sb_save(tmp_path)
+    out = str(tmp_path / "out")
+    save = os.path.join(out, "save")
+    cfg_path = str(tmp_path / "tiny.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_YAML.format(out=out, save=save))
+
+    r = subprocess.run(
+        [sys.executable, SCRIPT, src, "--config", cfg_path],
+        capture_output=True, text=True, timeout=300, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    export_script = os.path.join(REPO_ROOT, "scripts",
+                                 "export_reference_checkpoint.py")
+    exported = str(tmp_path / "exported")
+    r = subprocess.run(
+        [sys.executable, export_script, save, "--config", cfg_path,
+         "--out", exported],
+        capture_output=True, text=True, timeout=300, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    sd_out = torch.load(os.path.join(exported, "model.ckpt"),
+                        map_location="cpu", weights_only=True)
+    sd_in = torch.load(os.path.join(src, "CKPT+better", "model.ckpt"),
+                       map_location="cpu", weights_only=True)
+    assert set(sd_out) == set(sd_in)
+    for k in sd_in:
+        if k.endswith("num_batches_tracked"):
+            continue  # exported as 0 by design (no information content)
+        np.testing.assert_allclose(
+            sd_out[k].to(torch.float64).numpy(),
+            sd_in[k].to(torch.float64).numpy(),
+            atol=1e-7, err_msg=k)
+    # WER meta rides along
+    with open(os.path.join(exported, "CKPT.yaml")) as f:
+        assert "WER: 43.5" in f.read()
