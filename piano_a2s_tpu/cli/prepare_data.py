@@ -45,11 +45,38 @@ def run_syn(exp, stages, kern_folder, xml_folder):
         print("Converting xml to midi...")
         epr_generate = None
         if exp.midi_syn == "epr":
-            # Default EPR path: a virtuosoNet checkout (fails fast with
-            # install instructions when absent).
-            from piano_a2s_tpu.data.epr import make_epr_generator
-            epr_generate = make_epr_generator(
-                exp.extras.get("virtuosonet_path"), workspace=exp.workspace)
+            # Engine selection mirrors the MV2H/MUSTER pattern: the
+            # external tool (virtuosoNet) is canonical when present; the
+            # native rule-based renderer covers tool-free hosts.
+            #   auto (default): virtuosoNet if a checkout is found, else
+            #     native with a notice;  virtuosonet: fail fast if absent;
+            #   native: always the in-repo engine.
+            engine = str(exp.extras.get("epr_engine", "auto"))
+            from piano_a2s_tpu.data.epr import (find_virtuosonet,
+                                                make_epr_generator)
+            if engine not in ("auto", "virtuosonet", "native"):
+                raise SystemExit(f"epr_engine={engine!r}: expected "
+                                 "auto|virtuosonet|native")
+            vnet = None
+            if engine in ("auto", "virtuosonet"):
+                vnet = find_virtuosonet(exp.extras.get("virtuosonet_path"),
+                                        workspace=exp.workspace)
+            if engine == "virtuosonet" or (engine == "auto" and vnet):
+                epr_generate = make_epr_generator(
+                    exp.extras.get("virtuosonet_path"),
+                    workspace=exp.workspace)
+                print(f"EPR engine: virtuosoNet ({vnet})")
+            else:
+                if engine == "auto":
+                    print("EPR engine: native rule-based renderer "
+                          "(no virtuosoNet checkout found; set "
+                          "epr_engine=virtuosonet to require the tool)")
+                else:
+                    print("EPR engine: native rule-based renderer "
+                          "(selected via epr_engine)")
+                from piano_a2s_tpu.data.epr_native import (
+                    make_native_epr_generator)
+                epr_generate = make_native_epr_generator()
         R.xml_to_midi(versions, exp.feature_folder, midi_syn=exp.midi_syn,
                       seed=exp.seed, epr_generate=epr_generate)
     if "clean" in stages:

@@ -78,6 +78,10 @@ class XNote:
     measure: int = 0
     two_voice_measure: bool = False
     clef: str = "treble"
+    # Tie flags (parsed for consumers like the native EPR renderer; the
+    # MUSTER components don't use them).
+    tie_start: bool = False
+    tie_stop: bool = False
 
 
 @dataclasses.dataclass
@@ -164,10 +168,14 @@ def parse_musicxml(path: str) -> XScore:
                         alter = int(alt.text) if alt is not None else 0
                         octv = int(pitch.find("octave").text)
                         midi = 12 * (octv + 1) + _STEP_MIDI[step] + alter
+                        tie_types = {t.get("type")
+                                     for t in el.findall("tie")}
                         n = XNote(measure_start + onset, dur, midi,
                                   step=step, alter=alter, octave=octv,
                                   voice=voice, staff=p_idx, measure=m_idx,
-                                  clef=clef)
+                                  clef=clef,
+                                  tie_start="start" in tie_types,
+                                  tie_stop="stop" in tie_types)
                     m_notes.append(n)
             if len(m_voices) > 1:
                 for n in m_notes:
