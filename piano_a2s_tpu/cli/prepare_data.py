@@ -12,6 +12,7 @@ required only by the stages that use them; everything else is native.
 """
 
 import argparse
+import os
 import sys
 from multiprocessing import Pool
 from functools import partial
@@ -62,8 +63,13 @@ def run_syn(exp, stages, kern_folder, xml_folder):
                 vnet = find_virtuosonet(exp.extras.get("virtuosonet_path"),
                                         workspace=exp.workspace)
             if engine == "virtuosonet" or (engine == "auto" and vnet):
+                # Pass the found checkout as the explicit root so the
+                # generator binds to exactly the checkout announced here
+                # (no second discovery pass). vnet None here means
+                # engine=virtuosonet with nothing found: make_epr_generator
+                # fails fast with install instructions.
                 epr_generate = make_epr_generator(
-                    exp.extras.get("virtuosonet_path"),
+                    vnet or exp.extras.get("virtuosonet_path"),
                     workspace=exp.workspace)
                 print(f"EPR engine: virtuosoNet ({vnet})")
             else:
@@ -76,7 +82,11 @@ def run_syn(exp, stages, kern_folder, xml_folder):
                           "(selected via epr_engine)")
                 from piano_a2s_tpu.data.epr_native import (
                     make_native_epr_generator)
-                epr_generate = make_native_epr_generator()
+                # Stage inside the workspace when one is configured (the
+                # default tempdir is auto-removed at exit either way).
+                staging = (os.path.join(exp.workspace, "epr_native_tmp")
+                           if exp.workspace else None)
+                epr_generate = make_native_epr_generator(staging)
         R.xml_to_midi(versions, exp.feature_folder, midi_syn=exp.midi_syn,
                       seed=exp.seed, epr_generate=epr_generate)
     if "clean" in stages:

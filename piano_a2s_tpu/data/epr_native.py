@@ -55,6 +55,11 @@ from ..train.muster import XScore, parse_musicxml
 _STYLE: Dict[str, Dict[str, float]] = {
     "DEFAULT":      dict(qpm=100, rubato=0.06, rit=0.35, art=0.95,
                          dyn=10, base_vel=64, lead_ms=15.0),
+    # Deadpan score rendering (the reference's composer=='score' draws
+    # verovio score MIDI): exact notated timing, flat dynamics, no lead,
+    # no micro-deviations — the no-verovio fallback for those chunks.
+    "score":        dict(qpm=120, rubato=0.0, rit=0.0, art=1.0,
+                         dyn=0, base_vel=64, lead_ms=0.0, deadpan=True),
     "Bach":         dict(qpm=96,  rubato=0.03, rit=0.25, art=0.84,
                          dyn=6,  base_vel=62, lead_ms=8.0),
     "Haydn":        dict(qpm=108, rubato=0.04, rit=0.25, art=0.88,
@@ -129,14 +134,17 @@ def _merge_ties(score: XScore) -> List[Tuple[Fraction, Fraction, int, int]]:
 
 
 class _TempoMap:
-    """Integrated phrase-arch tempo: score beats -> performed seconds."""
+    """Integrated phrase-arch tempo: score beats -> performed seconds.
 
-    def __init__(self, total_beats: float, beats_per_bar: float,
+    Bar geometry comes from the true measure-start list (so meter changes
+    mid-chunk keep the phrase arch, accents, and the final-ritardando
+    window aligned with real barlines, not a nominal first-meter grid)."""
+
+    def __init__(self, total_beats: float, barlines: List[float],
                  style: Dict[str, float]):
         self.spb = 60.0 / style["qpm"]
         self.total = max(total_beats, 1e-6)
-        self.bar = max(beats_per_bar, 1e-6)
-        self.phrase = self.bar * _PHRASE_BARS
+        self.bars = sorted(set(barlines)) or [0.0]
         self.rubato = style["rubato"]
         self.rit = style["rit"]
         step = float(_GRID)
@@ -150,16 +158,29 @@ class _TempoMap:
             self.cum.append(t)
             b += step
 
+    def bar_index(self, b: float) -> int:
+        import bisect
+        return max(bisect.bisect_right(self.bars, b + 1e-9) - 1, 0)
+
+    def _bar_frac(self, b: float) -> tuple:
+        """(bar index, fractional position inside that bar)."""
+        i = self.bar_index(b)
+        start = self.bars[i]
+        end = self.bars[i + 1] if i + 1 < len(self.bars) else self.total
+        width = max(end - start, 1e-6)
+        return i, min(max((b - start) / width, 0.0), 1.0)
+
     def _multiplier(self, b: float) -> float:
         """Local beat-duration multiplier at score beat b (>1 = slower)."""
         x = min(b / self.total, 1.0)             # piece position
         m = 1.0 + self.rubato * (2 * x - 1) ** 2  # global arch
-        if self.total > self.phrase:              # phrase arch
-            xp = (b % self.phrase) / self.phrase
+        if len(self.bars) > _PHRASE_BARS:         # phrase arch (4-bar units)
+            i, frac = self._bar_frac(b)
+            xp = (i % _PHRASE_BARS + frac) / _PHRASE_BARS
             m *= 1.0 + 0.5 * self.rubato * (2 * xp - 1) ** 2
-        last_bar = max(self.total - self.bar, 0.0)
-        if b > last_bar and self.total > self.bar:  # final ritardando
-            xr = (b - last_bar) / self.bar
+        last_bar = self.bars[-1]
+        if b > last_bar and self.total > last_bar:  # final ritardando
+            xr = (b - last_bar) / (self.total - last_bar)
             m *= 1.0 + self.rit * xr * xr
         return m
 
@@ -194,13 +215,14 @@ def render_performance(xml_path: str, composer: str = "DEFAULT",
         raise RuntimeError(f"no notes in {xml_path}")
 
     # Bar geometry from part 0 (both staves share barlines in this
-    # pipeline); beats are quarter notes.
+    # pipeline); beats are quarter notes. Per-measure time signatures are
+    # respected, so meter changes mid-chunk keep accents/phrases aligned.
     barlines = [float(b) * 4 for b in (score.barlines[0]
                                        if score.barlines else [Fraction(0)])]
-    tsig = score.times[0][0] if score.times and score.times[0] else (4, 4)
-    beats_per_bar = 4.0 * tsig[0] / tsig[1]
+    tsigs = (score.times[0] if score.times and score.times[0]
+             else [(4, 4)] * max(len(barlines), 1))
     total_beats = max(float(o + d) for (o, d, _m, _p) in notes)
-    tempo = _TempoMap(total_beats, beats_per_bar, style)
+    tempo = _TempoMap(total_beats, barlines, style)
 
     # Melody lead applies where both parts attack at the same score onset.
     onsets_by_part: Dict[int, set] = {}
@@ -218,23 +240,27 @@ def render_performance(xml_path: str, composer: str = "DEFAULT",
         off_s = tempo.seconds(off_b)
         # Articulation: scale the sounding time, keep at least 40 ms.
         sound = max((off_s - on_s) * style["art"], 0.04)
-        # Velocity: arch + metrical accent + pitch height + micro-variance.
-        x = min(on_b / tempo.total, 1.0)
-        vel = style["base_vel"] + style["dyn"] * (1 - (2 * x - 1) ** 2)
-        bar_start = max((b for b in barlines if b <= on_b + 1e-9),
-                        default=0.0)
-        beat_in_bar = on_b - bar_start
-        if abs(beat_in_bar) < 1e-6:
-            vel += 8                                   # downbeat
-        elif abs(beat_in_bar - beats_per_bar / 2) < 1e-6 \
-                and beats_per_bar >= 3:
-            vel += 4                                   # mid-bar strong beat
-        vel += (midi - 60) * 0.15                      # pitch height
-        vel += 2.0 * _hash_unit("vel", idx, midi)
+        # Velocity: arch + metrical accent + pitch height + micro-variance
+        # (deadpan 'score' style: constant velocity, like score MIDI).
+        vel = float(style["base_vel"])
+        if not style.get("deadpan"):
+            x = min(on_b / tempo.total, 1.0)
+            vel += style["dyn"] * (1 - (2 * x - 1) ** 2)
+            bar_idx = tempo.bar_index(on_b)
+            bar_start = tempo.bars[bar_idx]
+            m_tsig = tsigs[min(bar_idx, len(tsigs) - 1)]
+            m_beats = 4.0 * m_tsig[0] / m_tsig[1]  # this bar's own meter
+            beat_in_bar = on_b - bar_start
+            if abs(beat_in_bar) < 1e-6:
+                vel += 8                               # downbeat
+            elif abs(beat_in_bar - m_beats / 2) < 1e-6 and m_beats >= 3:
+                vel += 4                               # mid-bar strong beat
+            vel += (midi - 60) * 0.15                  # pitch height
+            vel += 2.0 * _hash_unit("vel", idx, midi)
         # Melody lead + deterministic micro-timing (never before t=0).
         if part == 0 and onset in shared:
             on_s -= style["lead_ms"] / 1000.0
-        if on_b > 0:
+        if on_b > 0 and not style.get("deadpan"):
             on_s += 0.004 * _hash_unit("t", idx, midi)
         on_s = max(on_s, 0.0)
         timed.append((on_s, on_s + sound, midi,
@@ -269,12 +295,23 @@ def make_native_epr_generator(out_dir: Optional[str] = None):
     """``epr_generate(xml_path, composer) -> midi_path`` using the native
     engine — drop-in for data.render.xml_to_midi's injection point. Each
     call overwrites one staging file (mirroring virtuosoNet's
-    test_result/<v>_by_isgn_z0.mid single-slot contract)."""
-    staging_dir = out_dir or tempfile.mkdtemp(prefix="epr_native_")
+    test_result/<v>_by_isgn_z0.mid single-slot contract). When no
+    ``out_dir`` is given, a temp staging dir is created and removed at
+    interpreter exit."""
+    if out_dir is None:
+        import atexit
+        import shutil
+        staging_dir = tempfile.mkdtemp(prefix="epr_native_")
+        atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
+    else:
+        staging_dir = out_dir
     os.makedirs(staging_dir, exist_ok=True)
     slot = os.path.join(staging_dir, "epr_native_z0.mid")
 
     def epr_generate(xml_path: str, composer: str) -> str:
         return render_performance(xml_path, composer, out_path=slot)
 
+    # xml_to_midi uses this to route composer=='score' chunks here (the
+    # deadpan style) when verovio is absent; virtuosoNet adapters can't.
+    epr_generate.handles_score = True
     return epr_generate

@@ -459,7 +459,8 @@ def xml_to_midi(versions: Sequence[int], feature_folder: str,
                     composer = (TEST_COMPOSERS[int(v)]
                                 if midi_syn == "epr" else "score")
                 try:
-                    if composer == "score":
+                    if composer == "score" and (have_tool("verovio")
+                                                or epr_generate is None):
                         tmp_mid = midi_path + ".raw.mid"
                         r = subprocess.run(
                             ["verovio", "-f", "musicxml-hum", "-t", "midi",
@@ -474,6 +475,19 @@ def xml_to_midi(versions: Sequence[int], feature_folder: str,
                                               or "Error" in r.stderr)):
                             continue
                         src_mid = tmp_mid
+                    elif composer == "score" and getattr(
+                            epr_generate, "handles_score", False):
+                        # No verovio on this host: the native EPR engine's
+                        # deadpan 'score' style renders exact notated
+                        # timing — these chunks would otherwise be
+                        # silently dropped by the skip-and-continue
+                        # policy (~1/15 of train + all v=0 eval sets).
+                        # (virtuosoNet generators don't handle 'score';
+                        # with one of those and no verovio, the chunk is
+                        # dropped exactly as in the reference.)
+                        src_mid = epr_generate(xml_path, "score")
+                    elif composer == "score":
+                        continue  # no verovio, generator can't cover it
                     else:
                         if epr_generate is None:
                             raise RuntimeError(

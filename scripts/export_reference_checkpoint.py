@@ -4,16 +4,24 @@
 Mirror of convert_reference_checkpoint.py: picks the best-WER (default)
 or latest checkpoint from one of this framework's save folders, reverses
 every layout permutation (models/convert.to_torch_state_dict), and writes
-a SpeechBrain-style ``CKPT+export-*`` directory containing ``model.ckpt``
-(a torch.save of the reference ``ScoreTranscription.state_dict()``;
-reference: models.py, save layout hparams/pretrain.yaml:110-116) plus a
-``CKPT.yaml`` carrying the WER/loss meta — so weights trained on TPU here
-can be loaded by the reference ecosystem with ``load_state_dict`` or
-dropped into its recoverer save folder.
+a ``CKPT+export-*`` directory containing ``model.ckpt`` (a torch.save of
+the reference ``ScoreTranscription.state_dict()``; reference: models.py)
+plus a ``CKPT.yaml`` carrying the WER/loss meta.
+
+By default keys are bare (load with
+``ScoreTranscription().load_state_dict(torch.load(...))``). Pass
+``--modulelist`` to prefix every key with ``0.`` — the layout the
+reference's SpeechBrain checkpointer writes, because it wraps the model
+in ``torch.nn.ModuleList([transcription])`` (reference:
+hparams/pretrain.yaml model/checkpointer blocks). Note a full recoverer
+CKPT dir also wants scheduler/normalizer/counter files this framework
+does not produce; load the model weights explicitly on the reference
+side rather than relying on its auto-recovery.
 
 Usage:
   python scripts/export_reference_checkpoint.py SAVE_FOLDER \
-      [--config configs/pretrain.yaml] [--out DIR] [--latest]
+      [--config configs/pretrain.yaml] [--out DIR] [--latest] \
+      [--modulelist]
 """
 
 import argparse
@@ -39,6 +47,10 @@ def main():
     ap.add_argument("--latest", action="store_true",
                     help="export the most recent checkpoint instead of "
                          "the best-WER one")
+    ap.add_argument("--modulelist", action="store_true",
+                    help="prefix keys with '0.' (the reference "
+                         "checkpointer's ModuleList layout) instead of "
+                         "bare ScoreTranscription keys")
     args = ap.parse_args()
 
     # Export is pure host work; never touch the TPU tunnel.
@@ -65,6 +77,8 @@ def main():
     print(f"exporting {path} (WER={meta.get('WER')})")
 
     sd = to_torch_state_dict(trees["params"], trees["state"], cfg)
+    if args.modulelist:
+        sd = {f"0.{k}": v for k, v in sd.items()}
 
     out = args.out or os.path.join(args.save_folder,
                                    f"CKPT+export-{int(time.time())}")
@@ -75,8 +89,10 @@ def main():
         f.write(f"loss: {float(meta.get('loss', -1.0))}\n")
         f.write(f"unixtime: {time.time()}\n")
         f.write(f"exported_from: {path}\n")
-    print(f"wrote {out}/model.ckpt (+ CKPT.yaml); load in the reference "
-          f"with ScoreTranscription().load_state_dict(torch.load(...))")
+    how = ("the reference checkpointer's ModuleList layout ('0.'-prefixed)"
+           if args.modulelist else
+           "ScoreTranscription().load_state_dict(torch.load(...))")
+    print(f"wrote {out}/model.ckpt (+ CKPT.yaml); key layout: {how}")
 
 
 if __name__ == "__main__":

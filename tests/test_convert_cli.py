@@ -140,3 +140,40 @@ def test_export_cli_full_cycle(tmp_path):
     # WER meta rides along
     with open(os.path.join(exported, "CKPT.yaml")) as f:
         assert "WER: 43.5" in f.read()
+
+
+def test_export_cli_modulelist_layout(tmp_path):
+    """--modulelist writes the reference checkpointer's '0.'-prefixed
+    ModuleList key layout, which from_torch_state_dict strips back."""
+    import torch
+
+    src = _make_sb_save(tmp_path)
+    out = str(tmp_path / "out")
+    save = os.path.join(out, "save")
+    cfg_path = str(tmp_path / "tiny.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_YAML.format(out=out, save=save))
+    r = subprocess.run(
+        [sys.executable, SCRIPT, src, "--config", cfg_path],
+        capture_output=True, text=True, timeout=300, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    export_script = os.path.join(REPO_ROOT, "scripts",
+                                 "export_reference_checkpoint.py")
+    exported = str(tmp_path / "exported_ml")
+    r = subprocess.run(
+        [sys.executable, export_script, save, "--config", cfg_path,
+         "--out", exported, "--modulelist"],
+        capture_output=True, text=True, timeout=300, cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stdout + r.stderr
+    sd = torch.load(os.path.join(exported, "model.ckpt"),
+                    map_location="cpu", weights_only=True)
+    assert all(k.startswith("0.") for k in sd)
+    # The import path accepts this layout directly (strips the prefix).
+    from piano_a2s_tpu.models import ModelConfig
+    from piano_a2s_tpu.models.convert import from_torch_state_dict
+    cfg = ModelConfig(freq_bins=16, conv_feature_size=16, hidden_size=16,
+                      max_bars=2, max_length=(6, 5), note_emb_size=8,
+                      staff_emb_size=8)
+    params, state = from_torch_state_dict(sd, cfg)
+    assert "convstack" in params and "bn1" in state["convstack"]

@@ -176,3 +176,83 @@ def test_unknown_composer_falls_back_to_default(tmp_path):
                            os.path.join(str(tmp_path), "y.mid"))
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_mixed_meter_bar_geometry(tmp_path):
+    """A 4/4 -> 3/4 chunk: downbeat accents land on TRUE barline onsets
+    and the final ritardando is confined to the real last bar."""
+    up = ["4c\n4d\n4e\n4f", "4g\n4a\n4b", "4c\n4d\n4e", "4f\n4g\n4a"]
+    low = ["4C\n4D\n4E\n4F", "4G\n4A\n4B", "4C\n4D\n4E", "4F\n4G\n4A"]
+    tgt = _target(up, low, time_sigs=["4/4", "3/4", "3/4", "3/4"])
+    xml = _xml(tmp_path, tgt, tag="mm")
+    mid = render_performance(xml, "DEFAULT",
+                             os.path.join(str(tmp_path), "mm.mid"))
+    notes = sorted(read_midi(mid).notes())
+    upper = [(on, p, v) for (on, _off, p, v) in notes if p >= 60]
+    assert len(upper) == 13
+    # Bar-start indices in the upper melody: 0 (4/4), then 4, 7, 10.
+    bar_starts = {0, 4, 7, 10}
+    for i in range(13):
+        if i in bar_starts and i + 1 not in bar_starts:
+            assert upper[i][2] > upper[i + 1][2], i  # downbeat accent
+    # Final rit: last IOI (inside the true last 3/4 bar) largest.
+    ons = [on for (on, _p, _v) in upper]
+    iois = [b - a for a, b in zip(ons, ons[1:])]
+    assert iois[-1] == max(iois)
+    # Penultimate-bar IOIs are NOT rit-inflated: strictly below the last.
+    assert max(iois[6:9]) < iois[-1]
+
+
+def test_score_composer_is_deadpan(tmp_path):
+    """'score' renders exact notated proportions: flat velocity, no
+    melody lead, no micro-timing, uniform IOIs."""
+    xml = _xml(tmp_path, _steady_quarters(bars=2))
+    mid = render_performance(xml, "score",
+                             os.path.join(str(tmp_path), "sc.mid"))
+    notes = sorted(read_midi(mid).notes())
+    melody = [(on, v) for (on, _off, p, v) in notes if p >= 60]
+    bass = [(on, v) for (on, _off, p, v) in notes if p < 60]
+    # No melody lead: simultaneous attacks stay simultaneous.
+    for (m, _), (b, _) in zip(melody, bass):
+        assert m == pytest.approx(b, abs=1e-9)
+    # Uniform IOIs at qpm 120: exactly 0.5 s.
+    ons = [on for on, _ in melody]
+    for a, b in zip(ons, ons[1:]):
+        assert (b - a) == pytest.approx(0.5, abs=1e-3)
+    # Constant velocity, like score MIDI.
+    vels = {v for _, v in melody} | {v for _, v in bass}
+    assert len(vels) == 1
+
+
+def test_xml_to_midi_score_chunks_survive_without_verovio(tmp_path,
+                                                          monkeypatch):
+    """midi_syn=epr + native engine + NO verovio: the composer=='score'
+    draws (all of test/valid v=0) render through the deadpan style
+    instead of being silently dropped (review finding)."""
+    import json
+    import pickle
+
+    from piano_a2s_tpu.data import render as R
+
+    # Empty PATH so have_tool('verovio') is False regardless of host.
+    monkeypatch.setenv("PATH", str(tmp_path / "emptybin"))
+    os.makedirs(tmp_path / "emptybin", exist_ok=True)
+    assert not R.have_tool("verovio")
+
+    base = tmp_path / "features" / "test" / "0"
+    for d in ("xml", "target", "info"):
+        os.makedirs(base / d)
+    tgt = _steady_quarters(bars=4)
+    export_target(tgt, str(base / "xml" / "song.xml"))
+    with open(base / "target" / "song.pkl", "wb") as f:
+        pickle.dump(tgt, f)
+    with open(base / "info" / "song.json", "w") as f:
+        json.dump({}, f)
+
+    gen = make_native_epr_generator(str(tmp_path / "slot"))
+    R.xml_to_midi([0], str(tmp_path / "features"), midi_syn="epr",
+                  seed=0, epr_generate=gen)
+    # TEST_COMPOSERS[0] == 'score' -> rendered via the deadpan fallback.
+    assert os.path.isfile(base / "midi" / "song.mid")
+    info = json.load(open(base / "info" / "song.json"))
+    assert info["composer"] == "score"
