@@ -432,11 +432,32 @@ def ga_within_bar_auto(gt: jnp.ndarray, dur_frac, pad: int,
     return jnp.where(has_sep, event_map, token_map)
 
 
+def ga_within_bar_map(gt: jnp.ndarray, dur_frac, pad: int, sep: int,
+                      mode: str = "auto") -> jnp.ndarray:
+    """Select the within-bar map by `mode`.
+
+    'auto' (default) is the per-row heuristic above — right for mixed
+    batches, but a real-pipeline bar holding a SINGLE chord event has no
+    separator and is token-indistinguishable from a legacy '<b>'-joined
+    sequential stream, so auto routes it to the per-duration map and the
+    chord double-counts. Corpora with known target structure should pin
+    the map: 'events' for real-pipeline / chordal-synth targets
+    (extras `guided_attention_map: events`), 'tokens' for the legacy
+    chord-free streams."""
+    if mode == "events":
+        return ga_within_bar_events(gt, dur_frac, pad, sep)
+    if mode == "tokens":
+        return ga_within_bar(gt, dur_frac, pad)
+    if mode != "auto":
+        raise ValueError(f"ga_map={mode!r}: expected auto|events|tokens")
+    return ga_within_bar_auto(gt, dur_frac, pad, sep)
+
+
 def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
                            h0, gt_up, gt_low, tf_ratio, train: bool, rng,
                            emit_full: bool = True, ga_frac=None,
                            ga_sigma: float = 0.15, ga_dur_frac=None,
-                           ga_content=None):
+                           ga_content=None, ga_map: str = "auto"):
     """Teacher-forced decode of one bar for BOTH staves in one fixed-length
     scan of max(T_up, T_low) steps. Returns (upper, lower, ga_num) with
     per-staff (logp, tokens, lengths).
@@ -483,8 +504,8 @@ def note_decoder_dual_scan(dual_params, cfg: ModelConfig, enc, enc_proj2,
         bar_start, bar_span = ga_frac
         valid2 = (gt2 != cfg.pad).astype(jnp.float32)            # (2,B,T)
         if ga_dur_frac is not None:
-            within = ga_within_bar_auto(gt2, ga_dur_frac, cfg.pad,
-                                        cfg.newline)             # (2,B,T)
+            within = ga_within_bar_map(gt2, ga_dur_frac, cfg.pad,
+                                       cfg.newline, ga_map)      # (2,B,T)
         else:
             len2 = jnp.stack([up_len, low_len]).astype(jnp.float32)
             within = jnp.minimum(
@@ -682,7 +703,7 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
                                ground_truth, tf_ratio, train: bool, rng,
                                decode_dtype=None, emit_full: bool = True,
                                ga_sigma: float = 0.0, ga_dur_frac=None,
-                               ga_content=None):
+                               ga_content=None, ga_map: str = "auto"):
     """Decode max_bars bars. ground_truth is None (inference) or the tuple
     (time_sig (B,bars), key (B,bars), upper (B,bars,Tu), upper_len (B,bars),
     lower (B,bars,Tl), lower_len (B,bars)).
@@ -764,7 +785,8 @@ def hierarchical_decoder_apply(params, cfg: ModelConfig, enc: jnp.ndarray,
                 up_t, low_t, tf_ratio, train, k_up, emit_full=emit_full,
                 ga_frac=ga_frac, ga_sigma=ga_sigma,
                 ga_dur_frac=(ga_dur_frac if use_ga else None),
-                ga_content=(ga_content if use_ga else None))
+                ga_content=(ga_content if use_ga else None),
+                ga_map=ga_map)
         else:
             ((up_logp, up_tok, up_len),
              (low_logp, low_tok, low_len)) = note_decoder_dual_infer(
@@ -862,7 +884,7 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
             ground_truth=None, tf_ratio=0.0, decode_dtype=None,
             emit_full: bool = True, conv_dtype=None, decode_chunk=None,
             sample_weight=None, ga_sigma: float = 0.0, ga_dur_frac=None,
-            ga_content=None):
+            ga_content=None, ga_map: str = "auto"):
     """Full model forward.
 
     spectrogram: (B, 1, T, F). Returns ((time_sig_logp (B,bars,7),
@@ -936,7 +958,7 @@ def forward(params, state, spectrogram: jnp.ndarray, rng,
             params, cfg, enc, hidden, ground_truth, tf_ratio, train, k_dec,
             decode_dtype=decode_dtype, emit_full=emit_full,
             ga_sigma=ga_sigma, ga_dur_frac=ga_dur_frac,
-            ga_content=ga_content)
+            ga_content=ga_content, ga_map=ga_map)
     return (ts, key, up, low, aux), {"convstack": new_conv_state}
 
 

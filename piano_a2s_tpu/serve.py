@@ -97,6 +97,12 @@ class TranscriptionService:
             self.stats["requests"] += 1
         self._wakeup.set()
         if not item["done"].wait(timeout):
+            # Mark the item so _take_batch drops it instead of spending
+            # a device slot on a clip whose client already got an error
+            # (under sustained overload every queued clip times out and
+            # the worker would do 100% dead work otherwise).
+            with self._lock:
+                item["cancelled"] = True
             raise TimeoutError("transcription timed out")
         if item["error"] is not None:
             raise item["error"]
@@ -132,6 +138,11 @@ class TranscriptionService:
                                  and (len(self._queue) >= need
                                       or now >= extended)))
                     if ready:
+                        # Drop abandoned requests (submit() timeouts)
+                        # before forming the batch.
+                        if any(i.get("cancelled") for i in self._queue):
+                            self._queue = [i for i in self._queue
+                                           if not i.get("cancelled")]
                         batch = self._queue[: self.max_batch]
                         del self._queue[: len(batch)]
                         # Never clear after close(): its set() is the
@@ -232,6 +243,9 @@ def _decode_body(body: bytes, sample_rate: int) -> np.ndarray:
     return resample(audio, sr, sample_rate)
 
 
+_RENDER_FORMATS = {"json", "kern", "musicxml", "midi"}
+
+
 def _render(target, fmt: str):
     """Target structure -> (content_type, bytes) in the asked format."""
     from .symbolic.export import export_target, tokens_to_kern
@@ -309,6 +323,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_json(404, {"error": f"no route {url.path}"})
             return
         fmt = parse_qs(url.query).get("format", ["json"])[0]
+        if fmt not in _RENDER_FORMATS:
+            # Reject before submit(): a typo'd format should not cost a
+            # full device inference only to 400 at render time.
+            self._reply_json(400, {"error": f"unknown format {fmt!r} "
+                                            f"(one of {sorted(_RENDER_FORMATS)})"})
+            return
         try:
             length = int(self.headers.get("Content-Length", 0))
             if not 0 < length <= 512 * 2**20:
@@ -316,8 +336,11 @@ class _Handler(BaseHTTPRequestHandler):
             body = self.rfile.read(length)
             sr = self.service.transcriber.vqt_cfg.sample_rate
             audio = _decode_body(body, sr)
-        except ValueError as exc:
-            self._reply_json(400, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001 — wave.Error/EOFError/
+            # struct.error from corrupt uploads must become a 400, not a
+            # traceback + connection abort (anything raised here is a
+            # property of the request body, not of the server).
+            self._reply_json(400, {"error": f"bad request body: {exc}"})
             return
         try:
             target = self.service.submit(audio)

@@ -181,13 +181,24 @@ class Trainer:
         # instead of the linear token-index approximation.
         self.ga_dur_frac = (_duration_fraction_table(self.cfg.vocab_size)
                             if self.ga_weight else None)
+        # Which within-bar time map the guide uses (extras
+        # `guided_attention_map`): 'auto' per-row dispatch for mixed
+        # batches; 'events' for real-pipeline/chordal targets (auto
+        # cannot tell a single-chord bar from a legacy '<b>'-joined
+        # stream — models.ga_within_bar_map); 'tokens' for the legacy
+        # chord-free synth streams.
+        self.ga_map = str(exp.extras.get("guided_attention_map", "auto"))
+        if self.ga_map not in ("auto", "events", "tokens"):
+            raise ValueError(
+                "extras guided_attention_map must be auto|events|tokens; "
+                f"got {self.ga_map!r}")
         self.train_step, self.eval_step = make_jitted_steps(
             self.optimizer, self.cfg, mesh=self.mesh,
             accum_steps=self.accum_steps, conv_dtype=self.conv_dtype,
             from_audio=self.from_audio, vqt_cfg=exp.vqt_config(),
             max_frame_num=exp.max_frame_num, eval_decode_chunk=edc,
             ga_weight=self.ga_weight, ga_sigma=self.ga_sigma,
-            ga_dur_frac=self.ga_dur_frac)
+            ga_dur_frac=self.ga_dur_frac, ga_map=self.ga_map)
         # Length-bucketed train steps: the decode scan length is static, so
         # batches whose longest target is far below the 398/189 caps run a
         # shorter compiled variant (loss/gradient-exact: positions past the
@@ -387,7 +398,7 @@ class Trainer:
                 vqt_cfg=self.exp.vqt_config(),
                 max_frame_num=self.exp.max_frame_num,
                 ga_weight=self.ga_weight, ga_sigma=self.ga_sigma,
-                ga_dur_frac=self.ga_dur_frac)[0]
+                ga_dur_frac=self.ga_dur_frac, ga_map=self.ga_map)[0]
         batch = dict(batch)
         batch["upper"] = batch["upper"][:, :, :bu]
         batch["lower"] = batch["lower"][:, :, :bl]

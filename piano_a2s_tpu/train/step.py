@@ -120,7 +120,7 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
                optimizer: optax.GradientTransformation,
                cfg: ModelConfig, conv_dtype=None, prep=_promote_staged,
                ga_weight: float = 0.0, ga_sigma: float = 0.15,
-               ga_dur_frac=None):
+               ga_dur_frac=None, ga_map: str = "auto"):
     """Pure train step: returns (params, opt_state, state, StepOutput).
 
     Uses the fused-loss forward (emit_full=False): the per-step gt-picked
@@ -144,7 +144,7 @@ def train_step(params, opt_state, state, batch, rng, tf_ratio,
             sample_weight=batch.get("sample_weight"),
             ga_sigma=(ga_sigma if ga_weight else 0.0),
             ga_dur_frac=ga_dur_frac,
-            ga_content=batch.get("ga_content"))
+            ga_content=batch.get("ga_content"), ga_map=ga_map)
         loss, comps = transcription_loss_fused(
             outs, batch, cfg.pad,
             sample_weight=batch.get("sample_weight"), ga_weight=ga_weight)
@@ -174,7 +174,8 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
                      optimizer: optax.GradientTransformation,
                      cfg: ModelConfig, accum_steps: int, conv_dtype=None,
                      prep=_promote_staged, ga_weight: float = 0.0,
-                     ga_sigma: float = 0.15, ga_dur_frac=None):
+                     ga_sigma: float = 0.15, ga_dur_frac=None,
+                     ga_map: str = "auto"):
     """Gradient-accumulation train step: the batch is split into
     `accum_steps` microbatches scanned sequentially, so the compiled
     program's activation footprint (and the XLA program the remote
@@ -218,7 +219,7 @@ def train_step_accum(params, opt_state, state, batch, rng, tf_ratio,
             sample_weight=mb.get("sample_weight"),
             ga_sigma=(ga_sigma if ga_weight else 0.0),
             ga_dur_frac=ga_dur_frac,
-            ga_content=mb.get("ga_content"))
+            ga_content=mb.get("ga_content"), ga_map=ga_map)
         nums = fused_component_sums(outs, mb, cfg.pad,
                                     sample_weight=mb.get("sample_weight"),
                                     ga_weight=ga_weight)
@@ -300,7 +301,8 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
                       conv_dtype=None, from_audio: bool = False,
                       vqt_cfg=None, max_frame_num: int = 1201,
                       eval_decode_chunk=None, ga_weight: float = 0.0,
-                      ga_sigma: float = 0.15, ga_dur_frac=None):
+                      ga_sigma: float = 0.15, ga_dur_frac=None,
+                      ga_map: str = "auto"):
     """Compile the steps. With a mesh, batches are sharded along the leading
     (batch) axis of the `data` mesh axis and params/opt/state are replicated;
     XLA inserts the gradient all-reduce (psum over ICI) automatically.
@@ -330,12 +332,12 @@ def make_jitted_steps(optimizer: optax.GradientTransformation,
         t_step = partial(train_step_accum, optimizer=optimizer, cfg=cfg,
                          accum_steps=accum_steps, conv_dtype=conv_dtype,
                          prep=prep, ga_weight=ga_weight, ga_sigma=ga_sigma,
-                         ga_dur_frac=ga_dur_frac)
+                         ga_dur_frac=ga_dur_frac, ga_map=ga_map)
     else:
         t_step = partial(train_step, optimizer=optimizer, cfg=cfg,
                          conv_dtype=conv_dtype, prep=prep,
                          ga_weight=ga_weight, ga_sigma=ga_sigma,
-                         ga_dur_frac=ga_dur_frac)
+                         ga_dur_frac=ga_dur_frac, ga_map=ga_map)
     e_step = partial(eval_step, cfg=cfg, prep=prep,
                      decode_chunk=(None if mesh is not None
                                    else eval_decode_chunk))

@@ -324,3 +324,73 @@ def test_ga_event_map_ties_and_rests():
     # tokens: [ [ 2 c \n | 4 r \n | 4 c ] eos pad ]
     want = [0.25] * 4 + [0.625] * 3 + [0.875] * 5
     np.testing.assert_allclose(ev, want, atol=1e-6)
+
+
+def test_ga_map_pinning_fixes_single_event_chord_bar():
+    """A bar holding ONE chord event ('1c 1e 1g', no separator) is
+    token-indistinguishable from a legacy '<b>'-joined stream, so 'auto'
+    routes it to the per-duration map and the chord double-counts
+    (review finding). Pinning ga_map='events' (extras
+    guided_attention_map) gives every token the single event's midpoint."""
+    from piano_a2s_tpu.models.score_transcription import (
+        ga_within_bar_auto, ga_within_bar_map)
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from piano_a2s_tpu.train.harness import _duration_fraction_table
+
+    labels = LabelsMultiple(extended=True)
+    full = ModelConfig()
+    table = _duration_fraction_table(full.vocab_size)
+    ids = labels.encode("1c 1e 1g") + [full.eos, full.pad]
+    gt = jnp.asarray([ids], jnp.int32)
+    ev = np.asarray(ga_within_bar_map(gt, table, full.pad, full.newline,
+                                      "events"))[0]
+    np.testing.assert_allclose(ev, [0.5] * len(ids), atol=1e-6)
+    # The documented 'auto' limitation: no separator -> token map ->
+    # spread centers (1/6, 1/2, 5/6 over a tripled total).
+    auto = np.asarray(ga_within_bar_auto(gt, table, full.pad,
+                                         full.newline))[0]
+    assert abs(auto[0] - 1 / 6) < 1e-6 and abs(auto[-1] - 5 / 6) < 1e-6
+    # 'tokens'/'auto' agree here; unknown modes error.
+    tok = np.asarray(ga_within_bar_map(gt, table, full.pad, full.newline,
+                                       "tokens"))[0]
+    np.testing.assert_allclose(auto, tok)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ga_within_bar_map(gt, table, full.pad, full.newline, "nope")
+
+
+def test_ga_map_threads_through_jitted_steps():
+    """extras guided_attention_map='events' reaches the compiled train
+    step: on a single-event chordal batch the GA penalty differs from the
+    'auto' routing, with identical data/params otherwise."""
+    from piano_a2s_tpu.symbolic.vocab import LabelsMultiple
+    from piano_a2s_tpu.train.harness import _duration_fraction_table
+
+    labels = LabelsMultiple(extended=True)
+    cfg = CFG
+    table = _duration_fraction_table(cfg.vocab_size)
+    optimizer = make_optimizer()
+    batch = _batch()
+    # One chord event per bar, no separator (the ambiguous shape).
+    ids = labels.encode("1c 1e 1g")
+    T = batch["upper"].shape[-1]
+    row = (ids + [cfg.eos] + [cfg.pad] * T)[:T]
+    batch["upper"] = np.tile(np.asarray(row, np.int32),
+                             batch["upper"].shape[:2] + (1,))
+    batch["upper_lengths"] = np.full(batch["upper_lengths"].shape,
+                                     len(ids), np.int32)
+
+    outs = {}
+    for mode in ("auto", "events"):
+        # Fresh trees per mode: the jitted step donates its buffers.
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        state = init_state(cfg)
+        opt_state = optimizer.init(params)
+        t_step, _ = make_jitted_steps(optimizer, cfg, ga_weight=2.0,
+                                      ga_sigma=0.1, ga_dur_frac=table,
+                                      ga_map=mode)
+        _, _, _, out = t_step(params, opt_state, state,
+                              {k: jnp.asarray(v) for k, v in batch.items()},
+                              jax.random.PRNGKey(1), 1.0)
+        outs[mode] = float(jax.device_get(out.components["ga_loss"]))
+    assert outs["auto"] != outs["events"]

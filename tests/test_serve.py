@@ -6,6 +6,7 @@ concurrent requests batched into one device call, and error paths.
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 import wave
@@ -270,3 +271,53 @@ def test_service_close_with_inflight_request():
     assert results and len(results[0]) == CFG.max_bars  # flushed, served
     assert not svc._worker.is_alive()
     assert dt < 8, f"close() took {dt:.1f}s (worker stranded?)"
+
+
+def test_corrupt_wav_body_is_a_400(server):
+    """A body passing the RIFF magic check but truncated mid-header must
+    produce a 400 error JSON, not a connection abort (wave.Error escaped
+    the ValueError-only catch before the review fix)."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/transcribe", b"RIFF\x00\x00\x00\x00WAVEgarbage")
+    assert e.value.code == 400
+    assert "bad request body" in json.load(e.value)["error"]
+
+
+def test_unknown_format_rejected_before_inference(server):
+    """A typo'd format 400s up front — without consuming a device batch."""
+    before = json.loads(
+        urllib.request.urlopen(f"{server}/stats", timeout=30).read())
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/transcribe?format=xml",
+              _wav_bytes(np.zeros(1000, np.float32), VCFG.sample_rate))
+    assert e.value.code == 400
+    assert "unknown format" in json.load(e.value)["error"]
+    after = json.loads(
+        urllib.request.urlopen(f"{server}/stats", timeout=30).read())
+    assert after["requests"] == before["requests"]  # never submitted
+
+
+def test_timed_out_requests_are_dropped_from_the_queue():
+    """Clips whose submitter already received a TimeoutError must not
+    consume device batch slots (overload would otherwise become 100%
+    dead work)."""
+    from piano_a2s_tpu.serve import TranscriptionService
+
+    fake = _FakeTranscriber(device_s=0.3)
+    svc = TranscriptionService(fake, max_batch=4, max_wait_ms=5.0)
+    try:
+        # One long-running batch occupies the worker...
+        blocker = threading.Thread(
+            target=lambda: svc.submit(np.zeros(8, np.float32), timeout=10))
+        blocker.start()
+        time.sleep(0.05)
+        # ...while two clips time out in the queue behind it.
+        for _ in range(2):
+            with pytest.raises(TimeoutError):
+                svc.submit(np.zeros(8, np.float32), timeout=0.05)
+        blocker.join()
+        # Let the worker drain whatever it still forms.
+        time.sleep(0.6)
+        assert sum(fake.batches) == 1  # only the live clip ran
+    finally:
+        svc.close()
