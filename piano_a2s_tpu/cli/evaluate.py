@@ -118,7 +118,8 @@ def main(argv=None):
                       "XML pairs the MV2H stage writes): skipping MUSTER")
             else:
                 ers, n_pairs = get_muster_er(folder, args.muster_script,
-                                             engine=m_engine)
+                                             engine=m_engine,
+                                             split=args.split)
                 if m_engine == "native":
                     # Only the native engine's component order is ours to
                     # label; the external tool's 11 numbers print raw,

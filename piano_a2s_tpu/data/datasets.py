@@ -122,6 +122,12 @@ class _DatasetBase:
         return out
 
     def pad_score(self, score: List[Sequence[int]], max_length: int):
+        if not score:
+            # Zero-measure target (truncated/corrupt pickle): the
+            # reference's torch.zeros((0, max_length)) shape, not a
+            # np.stack([]) ValueError in the loader thread.
+            return (np.zeros((0, max_length), np.int32),
+                    np.zeros((0,), np.int32))
         padded = np.stack([self.pad_single_measure(m, max_length)
                            for m in score])
         lengths = np.array([min(len(m), max_length) for m in score],
@@ -190,7 +196,12 @@ class SyntheticTrainDataset(_DatasetBase):
                  = None, **kw):
         super().__init__(feature_folder, split, **kw)
         self.versions = list(versions)
-        self.rng = rng or np.random.RandomState()
+        # Default to a FIXED seed, not OS entropy: per-host sharded
+        # multi-host loading requires every host's version-sampling RNG
+        # to run in lockstep so locate() agrees on the same
+        # (folder, name, version) for a given global row — an entropy
+        # default would silently hand each host different targets.
+        self.rng = rng if rng is not None else np.random.RandomState(0)
         self.song_list: Dict[Any, List[str]] = {}
         self.lengths: Dict[Any, int] = {}
         for v in self.versions:
@@ -411,23 +422,47 @@ class DataLoader:
         import threading
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # Bounded put + stop checks: if the consumer abandons
+                    # the iterator (break / exception in the train loop),
+                    # the generator's finally sets `stop` and this thread
+                    # exits instead of blocking forever on a full queue
+                    # pinning `prefetch` batches of host memory per
+                    # abandoned epoch.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(sentinel)
             except BaseException as exc:  # re-raised in the consumer
-                q.put(exc)
+                if not stop.is_set():
+                    q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            batch = q.get()
-            if batch is sentinel:
-                break
-            if isinstance(batch, BaseException):
-                thread.join()
-                raise batch
-            yield batch
-        thread.join()
+        try:
+            while True:
+                batch = q.get()
+                if batch is sentinel:
+                    break
+                if isinstance(batch, BaseException):
+                    thread.join()
+                    raise batch
+                yield batch
+            thread.join()
+        finally:
+            stop.set()
+            while True:  # drain so a blocked put() wakes immediately
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5.0)

@@ -40,15 +40,16 @@ CLASSIC_TEMPOS = {
     "prestoassai": 200,
 }
 
-# A *numbered* barline ("=3", "==", "=12:|!" ... but not "=3-invisible").
+# A *numbered* barline ("=3", "==", "=12:|!"). NOTE: `[^-]*` matches the
+# empty string, so "=3-invisible" DOES match too (only the suffix capture
+# stops at the '-') — the exact behavior of the reference's regex, which
+# measure counting and chunk boundaries are byte-for-byte pinned to. Do
+# not "fix" this to actually exclude '-' barlines.
 BARLINE_RE = re.compile(r"^=(\d+|=)[^-]*")
-_BARLINE_RE = BARLINE_RE  # backwards-compatible alias
 
 # One note inside a chord token: [tie-open] duration pitch [;pause] [tie].
 _NOTE_RE = re.compile(r"(\[?)(\d+\.*)([a-gA-G]{1,4}[\-#]*)(;?)([\]_]?)")
 _REST_RE = re.compile(r"(\[?)(\d+\.*)([r]{1,4}[\-#]*)")
-# Kept under their historic names for callers/tests of older revisions.
-_NOTE_SEARCH_RE = _NOTE_RE
 
 # Line kinds.
 _K_SPLIT = "split"      # contains *^ or *v (or *+ / *x) anywhere

@@ -18,13 +18,16 @@ import os
 import pickle
 import shutil
 import subprocess
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
 
 from ..symbolic.export import export_target
 
-MV2H_KEYS = ["Multi-pitch", "Voice", "Meter", "Value", "Harmony", "MV2H"]
+# One definition of the metric-key list, shared with the native scorer
+# (it emits exactly these keys; two hand-maintained copies would drift).
+from .mv2h import MV2H_KEYS  # noqa: E402  (re-export for existing importers)
 _SCRIPT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "scripts",
     "evaluate_midi_mv2h.sh")
@@ -92,8 +95,22 @@ def _mv2h_one(results_dir: str, split_dir: str, result_file: str,
         return id_
     if engine == "native":
         from .mv2h import run_native_mv2h_pair
-        metrics = run_native_mv2h_pair(paths["target_midi"],
-                                       paths["pred_midi"])
+
+        # Same wall-clock bound the java contract enforces (the shell
+        # wrapper is killed at `timeout`): score in a worker thread and
+        # treat an overrun as a failed pair. The overrun thread itself
+        # can't be preempted (pure Python), but the evaluation moves on
+        # instead of stalling on one pathological clip.
+        box = {}
+
+        def _score():
+            box["metrics"] = run_native_mv2h_pair(paths["target_midi"],
+                                                  paths["pred_midi"])
+
+        t = threading.Thread(target=_score, daemon=True)
+        t.start()
+        t.join(timeout)
+        metrics = box.get("metrics") if not t.is_alive() else None
     else:
         metrics = run_mv2h_pair(paths["target_midi"], paths["pred_midi"],
                                 mv2h_bin, timeout)
@@ -258,13 +275,16 @@ def muster_engine(muster_script: str) -> str:
 
 def get_muster_er(results_dir: str,
                   muster_script: str = "./MUSTER/evaluate_XML_voicePlus.sh",
-                  engine: str = "auto"):
+                  engine: str = "auto", split: Optional[str] = None):
     """MUSTER 11-component score error rate over exported XML pairs
     (reference: evaluate.py:137-163). The external MUSTER tool is
     canonical when present; otherwise the native scorer (train/muster.py,
     same component inventory) runs the same pairs, so the metric works
     end-to-end on tool-free hosts — the same fallback design as MV2H.
-    `engine`: 'auto' | 'external' | 'native'. Returns (mean_ers, n)."""
+    `engine`: 'auto' | 'external' | 'native'. `split` filters the shared
+    mv2h folder to one evaluation split's clips (same cross-contamination
+    guard as the MV2H summaries — without it a valid-then-test run on one
+    output folder averages both). Returns (mean_ers, n)."""
     pred_folder = os.path.join(results_dir, "results", "scores", "pred")
     target_folder = os.path.join(results_dir, "results", "scores", "target")
     mv2h_folder = os.path.join(results_dir, "results", "mv2h")
@@ -282,6 +302,9 @@ def get_muster_er(results_dir: str,
         # destroy a user's ER.txt for nothing).
         return ers, 0
     files = [f[:-10] for f in os.listdir(mv2h_folder) if f.endswith(".json")]
+    ids = _split_ids(results_dir, split)
+    if ids is not None:
+        files = [f for f in files if f in ids]
     i = 0
     for file in sorted(files):
         try:

@@ -211,12 +211,17 @@ def midi_to_score(path: str) -> MV2HScore:
                     default=0)
     first_num, first_den = time_sigs[0][1], time_sigs[0][2]
     score.hierarchy = _hierarchy_for(first_num, first_den)
-    tick = 0
     for i, (seg_tick, num, den) in enumerate(time_sigs):
         seg_end = (time_sigs[i + 1][0] if i + 1 < len(time_sigs)
                    else last_tick)
         sub_beat = _sub_beat_ticks(num, den, tpq)
-        tick = max(tick, seg_tick)
+        # Each segment's grid re-anchors at ITS signature-change tick:
+        # carrying the previous segment's sub-beat overshoot forward
+        # would phase-shift every tatum after a denominator/compound
+        # change (e.g. 4/4 -> 2/2 at tick 1920 mis-gridded 2160, 2640...
+        # instead of 1920, 2400... — 250 ms off at 120 BPM, beyond
+        # ONSET_TOL_MS, collapsing the Meter score for the whole tail).
+        tick = float(seg_tick)
         while tick <= seg_end:
             score.tatums.append(tick_ms(round(tick)))
             tick += sub_beat

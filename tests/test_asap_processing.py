@@ -152,3 +152,75 @@ def test_drop_opening_barline_alignment():
     KERN2 = "**kern\n*M4/4\n4c\n=2\n4e\n==\n*-\n"
     assert drop_opening_barline(Kern(data=KERN2)).body == \
         Kern(data=KERN2).body
+
+
+def test_dataloader_abandoned_iterator_releases_producer():
+    """Breaking out of a prefetching loader must stop the producer thread
+    (review finding: it blocked forever on a full queue, pinning
+    `prefetch` batches of host memory per abandoned epoch)."""
+    import threading
+    import time
+
+    from piano_a2s_tpu.data.datasets import DataLoader
+
+    class Dummy:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"spectrogram": np.zeros((1, 2, 2), np.float32),
+                    "time_sig": np.zeros(2, np.int32),
+                    "key": np.zeros(2, np.int32),
+                    "upper": np.zeros((2, 3), np.int32),
+                    "upper_lengths": np.ones(2, np.int32),
+                    "lower": np.zeros((2, 3), np.int32),
+                    "lower_lengths": np.ones(2, np.int32),
+                    "name": f"s{i}", "version": 0}
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(DataLoader(Dummy(), 2, prefetch=2))
+        next(it)
+        it.close()  # the consumer walks away after one batch
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before
+
+
+def test_pad_score_empty_measures():
+    """A zero-measure target yields (0, max_length) arrays (the
+    reference's torch.zeros shape), not a np.stack ValueError."""
+    from piano_a2s_tpu.data.datasets import _DatasetBase
+
+    ds = _DatasetBase.__new__(_DatasetBase)
+    ds.pad_id, ds.eos_id = 147, 146
+    padded, lengths = ds.pad_score([], 6)
+    assert padded.shape == (0, 6) and lengths.shape == (0,)
+
+
+def test_synthetic_train_dataset_default_rng_is_seeded(tmp_path):
+    """Two independently-constructed datasets (no rng passed) must sample
+    the SAME versions — per-host sharded loading depends on lockstep
+    locators (review finding: the default was OS entropy)."""
+    import json
+    import pickle
+
+    from piano_a2s_tpu.data.datasets import SyntheticTrainDataset
+
+    for v in range(3):
+        base = tmp_path / "train" / str(v)
+        for d in ("spectrogram", "target", "info"):
+            (base / d).mkdir(parents=True)
+        np.save(base / "spectrogram" / "s.npy", np.zeros((4, 8), np.float32))
+        with open(base / "target" / "s.pkl", "wb") as f:
+            pickle.dump([[0, "4/4", [1], [1]]], f)
+        json.dump({}, open(base / "info" / "s.json", "w"))
+
+    kw = dict(feature_folder=str(tmp_path), versions=range(3),
+              max_frame_num=8, max_length=(4, 3))
+    a = SyntheticTrainDataset(**kw)
+    b = SyntheticTrainDataset(**kw)
+    locs_a = [a.locate(0) for _ in range(20)]
+    locs_b = [b.locate(0) for _ in range(20)]
+    assert locs_a == locs_b

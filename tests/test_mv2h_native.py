@@ -317,3 +317,33 @@ def test_run_native_pair_unreadable_returns_none(tmp_path):
     write_test_midi(good, simple_score())
     assert run_native_mv2h_pair(str(bad), str(good)) is None
     assert run_native_mv2h_pair(str(good), str(tmp_path / "no.mid")) is None
+
+
+def test_tatum_grid_reanchors_at_time_signature_change(tmp_path):
+    """4/4 -> 2/2 at tick 1920 (tpq 480): the 2/2 grid must land on
+    1920, 2400, 2880... — not inherit the 4/4 segment's 240-tick
+    sub-beat overshoot (review finding: the phase shift exceeded the
+    50 ms onset tolerance and collapsed Meter for the whole tail)."""
+    from piano_a2s_tpu.symbolic.midi_io import MidiEvent, MidiFile, \
+        write_midi_file
+    from piano_a2s_tpu.train.mv2h import midi_to_score
+
+    tempo = MidiEvent(0, 0xFF, b"\x51" + (500000).to_bytes(3, "big"))
+    ts1 = MidiEvent(0, 0xFF, bytes([0x58, 4, 2, 24, 8]))   # 4/4 at 0
+    ts2 = MidiEvent(0, 0xFF, bytes([0x58, 2, 1, 24, 8]))  # 2/2 at 1920
+    track = [tempo, ts1,
+             MidiEvent(0, 0x90, bytes([60, 64])),
+             MidiEvent(1920, 0x80, bytes([60, 64])),  # -> tick 1920
+             ts2,                                     # change AT 1920
+             MidiEvent(0, 0x90, bytes([62, 64])),
+             MidiEvent(1920, 0x80, bytes([62, 64]))]  # -> tick 3840
+    path = str(tmp_path / "ts_change.mid")
+    write_midi_file(MidiFile(480, [track]), path)
+
+    score = midi_to_score(path)
+    # 500000 us/qn -> 1 tick = 1000/480 ms. 2/2 sub-beat (2 per half-note
+    # beat) = quarter note = 480 ticks = 500 ms anchored AT 1920: the
+    # tail grid is 2000, 2500, 3000... (the pre-fix overshoot carry gave
+    # 2000, 2250, 2500 — the 4/4 eighth grid continuing).
+    tail = [t for t in score.tatums if t >= 1999]
+    assert tail[:4] == [2000, 2500, 3000, 3500], score.tatums
